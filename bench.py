@@ -1,0 +1,129 @@
+"""Benchmark: end-to-end clip generation latency on one TPU chip.
+
+Workload = BASELINE.md config 2: 1 condition image -> 16-frame 512px clip,
+25 DDIM steps (truncated to 22 by strength 0.9), CFG 7.5 + IP-Adapter image
+embedding, bf16.  The reference publishes no numbers (SURVEY.md §6); the
+target is the BASELINE.json north star: < 4 s per clip.  vs_baseline is
+4.0 / p50_latency (>1 means faster than the target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    from i2v_adapter_tpu.config import I2VModelConfig, PipelineConfig
+    from i2v_adapter_tpu.pipelines.i2v_pipeline import I2VAdapterPipeline
+
+    height = width = 512
+    frames = 16
+    steps = 25
+    batch = 1
+
+    model_config = I2VModelConfig()
+    pipe_config = PipelineConfig(
+        num_frames=frames, height=height, width=width,
+        num_inference_steps=steps, dtype="bfloat16", blur_sigma=1.0,
+    )
+
+    # construct without tokenizer/real weights: zero params by shape
+    pipe = I2VAdapterPipeline.__new__(I2VAdapterPipeline)
+    pipe.config = model_config
+    pipe.pipe_config = pipe_config
+    pipe.tokenizer = None
+    from i2v_adapter_tpu.models import (
+        AutoencoderKL,
+        CLIPTextEncoder,
+        CLIPVisionEncoder,
+        VideoUNet,
+    )
+    from i2v_adapter_tpu.schedulers import make_schedule
+
+    dtype = jnp.bfloat16
+    pipe.dtype = dtype
+    pipe.unet = VideoUNet(model_config.unet, dtype=dtype)
+    pipe.vae = AutoencoderKL(model_config.vae, dtype=dtype)
+    pipe.text_encoder = CLIPTextEncoder(model_config.text_encoder, dtype=dtype)
+    pipe.image_encoder = CLIPVisionEncoder(model_config.image_encoder, dtype=dtype)
+    pipe.schedule = make_schedule(model_config.scheduler)
+
+    rng = jax.random.PRNGKey(0)
+    lat = height // model_config.vae.spatial_scale_factor
+
+    def zeros_like_tree(shapes):
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    t0 = time.time()
+    unet_shapes = jax.eval_shape(
+        lambda: pipe.unet.init(
+            rng,
+            jnp.zeros((2, frames, lat, lat, 4), dtype),
+            jnp.zeros((2,)),
+            jnp.zeros((2, 77, 768), dtype),
+            jnp.zeros((2, 1024), dtype),
+            enable_cross_frame_attn=True,
+        )
+    )
+    vae_shapes = jax.eval_shape(
+        lambda: pipe.vae.init(rng, jnp.zeros((1, height, width, 3), dtype))
+    )
+    text_shapes = jax.eval_shape(
+        lambda: pipe.text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))
+    )
+    img_shapes = jax.eval_shape(
+        lambda: pipe.image_encoder.init(rng, jnp.zeros((1, 224, 224, 3), dtype))
+    )
+    params = {
+        "unet": zeros_like_tree(unet_shapes),
+        "vae": zeros_like_tree(vae_shapes),
+        "text_encoder": zeros_like_tree(text_shapes),
+        "image_encoder": zeros_like_tree(img_shapes),
+    }
+    pipe.params = params
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"[bench] params: {n_params/1e6:.0f}M, init {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    fn = pipe._sampler(
+        batch, frames, height, width, steps,
+        0.9, 7.5, True, True, 4,
+    )
+
+    text_ids = jnp.zeros((2 * batch, 77), jnp.int32)
+    cond = jnp.zeros((batch, height, width, 3), jnp.float32)
+    clip_img = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    out = fn(params, text_ids, cond, clip_img, key)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"[bench] first call (compile+run): {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = fn(params, text_ids, cond, clip_img, jax.random.PRNGKey(i))
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    p50 = float(np.median(times))
+    print(f"[bench] runs: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "p50 clip latency, 512px 16-frame 25-step DDIM + CFG + IP-Adapter, bf16, 1 chip",
+        "value": round(p50, 4),
+        "unit": "s",
+        "vs_baseline": round(4.0 / p50, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,7 +88,9 @@ class VideoUNetConfig(_ConfigBase):
     num_attention_heads: int = 8
     use_linear_projection: bool = False
     transformer_layers_per_block: int = 1
-    # Temporal (AnimateDiff-style) motion modules.
+    # Temporal (AnimateDiff-style) motion modules.  False yields a plain
+    # SD1.5 2D UNet applied per frame (the T2I finetune path).
+    use_motion_modules: bool = True
     motion_max_seq_length: int = 32
     motion_num_attention_heads: int = 8
     use_motion_mid_block: bool = True
@@ -228,6 +230,10 @@ class PipelineConfig(_ConfigBase):
     blur_sigma: Optional[float] = None
     eta: float = 0.0
     dtype: str = "bfloat16"
+    # Temporal tiling for clips longer than the motion-module positional cap
+    # (windowed denoising with overlap blending; see pipelines/tiling.py).
+    temporal_window: int = 16
+    temporal_stride: int = 12
 
     def __post_init__(self):
         if not (0.0 < self.frame_similarity_sample_ratio <= 1.0):
@@ -266,6 +272,10 @@ class TrainConfig(_ConfigBase):
     Defaults follow /root/reference/src/train_image_to_video.py:208-467.
     """
 
+    # 'i2v': adapter/motion finetune on clips (train_image_to_video.py).
+    # 't2i': full-UNet single-frame base finetune (train_text_to_image.py),
+    #        the AnimateDiff/PIA-style domain-adaptation stage.
+    train_mode: str = "i2v"
     resolution: int = 256
     num_frames: int = 16
     sample_stride: int = 4
@@ -302,6 +312,8 @@ class TrainConfig(_ConfigBase):
     checkpoints_total_limit: Optional[int] = None
 
     def __post_init__(self):
+        if self.train_mode not in ("i2v", "t2i"):
+            raise ValueError(f"bad train_mode: {self.train_mode}")
         if self.first_frame_mode not in ("scaled", "exact"):
             raise ValueError(f"bad first_frame_mode: {self.first_frame_mode}")
         total = self.uncond_prob_t + self.uncond_prob_i + self.uncond_prob_ti

@@ -1,0 +1,119 @@
+"""AnimateDiff-style temporal motion module.
+
+Equivalent of diffusers ``TransformerTemporalModel`` as instantiated by the
+reference (/root/reference/src/models/unet_motion_cross_frame_attn.py:232-244):
+GroupNorm over (C, F·H·W) → linear proj_in → N transformer blocks with
+*double self-attention* and interleaved-sinusoidal positional embeddings
+capped at ``max_seq_length`` → linear proj_out → residual.
+
+Tokens are the frames: the (B·F, H·W, C) activations reshape to
+(B·H·W, F, C) so every spatial location attends across time.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from i2v_adapter_tpu.models.attention import Attention, FeedForward
+
+
+def sinusoidal_positional_embedding(seq_len: int, dim: int) -> jnp.ndarray:
+    """Interleaved sin/cos (diffusers ``SinusoidalPositionalEmbedding``)."""
+    position = jnp.arange(seq_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((seq_len, dim), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+class TemporalBlock(nn.Module):
+    """Transformer block with two self-attentions (double_self_attention=True,
+    the AnimateDiff motion-module configuration) and GEGLU FF."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    max_seq_length: int = 32
+    norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B', F, C)
+        f = x.shape[1]
+        if f > self.max_seq_length:
+            raise ValueError(
+                f"num_frames {f} exceeds motion positional-embedding cap "
+                f"{self.max_seq_length}"
+            )
+        pe = sinusoidal_positional_embedding(f, self.dim).astype(x.dtype)
+
+        ln = lambda name: nn.LayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype, name=name
+        )
+        norm_h = ln("norm1")(x) + pe[None]
+        x = x + Attention(
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn1",
+        )(norm_h)
+
+        norm_h = ln("norm2")(x) + pe[None]
+        x = x + Attention(
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn2",
+        )(norm_h)
+
+        norm_h = ln("norm3")(x)
+        x = x + FeedForward(dim=self.dim, dtype=self.dtype, name="ff")(norm_h)
+        return x
+
+
+class TemporalTransformer(nn.Module):
+    """Motion module applied to (B*F, H, W, C) activations."""
+
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    max_seq_length: int = 32
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, num_frames: int) -> jnp.ndarray:
+        bf, h, w, c = x.shape
+        if bf % num_frames != 0:
+            raise ValueError(f"batch {bf} not divisible by frames {num_frames}")
+        b = bf // num_frames
+        inner = self.heads * self.dim_head
+        residual = x
+
+        # GroupNorm over channels jointly across (F, H, W) per clip — the
+        # reference norms the (B, C, F, H, W) tensor, coupling frames.
+        xg = x.reshape(b, num_frames, h, w, c).reshape(b, num_frames * h * w, c)
+        xg = nn.GroupNorm(
+            num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm"
+        )(xg)
+
+        # (B, F, H*W, C) -> (B*H*W, F, C): frames become the sequence.
+        tokens = xg.reshape(b, num_frames, h * w, c)
+        tokens = jnp.swapaxes(tokens, 1, 2).reshape(b * h * w, num_frames, c)
+        tokens = nn.Dense(inner, dtype=self.dtype, name="proj_in")(tokens)
+
+        for i in range(self.num_layers):
+            tokens = TemporalBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                max_seq_length=self.max_seq_length, dtype=self.dtype,
+                attn_impl=self.attn_impl, name=f"transformer_blocks_{i}",
+            )(tokens)
+
+        tokens = nn.Dense(c, dtype=self.dtype, name="proj_out")(tokens)
+        out = tokens.reshape(b, h * w, num_frames, c)
+        out = jnp.swapaxes(out, 1, 2).reshape(bf, h, w, c)
+        return out + residual

@@ -1,0 +1,327 @@
+"""Fused attention kernel family (Pallas/TPU) with an XLA fallback.
+
+One kernel serves every attention site in the video UNet (SURVEY.md §2.4):
+
+* spatial self-attention            — q = k = v, per frame
+* I2V cross-frame attention         — K/V come from the *first frame* of each
+  clip.  The reference materializes the broadcast with ``einops.repeat``
+  (/root/reference/src/modules/i2v_adapter.py:484-492); here the kernel's
+  index map reads the same first-frame block for all frames of a clip, so the
+  repeat never hits HBM (``kv_repeat`` argument).
+* text / IP-Adapter cross-attention — short K/V (77 text + 4 image tokens)
+* temporal (motion-module) attention — tiny sequence, huge batch
+
+Layout convention: ``q: (Bq, Nq, H, D)``, ``k/v: (Bkv, Nk, H, D)`` with
+``Bq = Bkv * kv_repeat`` and the repeated axis *minor* in Bq (clip-major,
+frame-minor — matching the reference's ``(b f) n d`` flattening).
+
+The Pallas forward is wrapped in a ``jax.custom_vjp`` whose backward pass is
+the straightforward XLA formulation: training resolutions (256px → ≤1024
+tokens) don't need a flash backward, and XLA fuses it well.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_block(n: int, preferred: int, align: int = 8) -> int:
+    """Largest block <= preferred that tiles padded-n reasonably."""
+    if n <= preferred:
+        return _round_up(n, align)
+    return preferred
+
+
+# ---------------------------------------------------------------------------
+# XLA reference / fallback implementation
+# ---------------------------------------------------------------------------
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kv_repeat: int = 1,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Plain einsum attention with fp32 softmax; autodiff-friendly."""
+    bq, nq, h, d = q.shape
+    bkv, nk, _, _ = k.shape
+    if bq != bkv * kv_repeat:
+        raise ValueError(f"batch mismatch: {bq} != {bkv} * {kv_repeat}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qr = q.reshape(bkv, kv_repeat, nq, h, d)
+    scores = jnp.einsum(
+        "brqhd,bkhd->brhqk", qr, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    out = jnp.einsum(
+        "brhqk,bkhd->brqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(bq, nq, h, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, scale: float, kv_len: int, block_kv: int,
+):
+    """Online-softmax attention over one (batch*head, q-block) program.
+
+    Grid = (BH, num_q_blocks, num_kv_blocks) with kv innermost; running max /
+    sum / accumulator live in VMEM scratch across the kv iterations.
+    """
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -1e30)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (block_q, d_pad)
+    kb = k_ref[0]  # (block_kv, d_pad)
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_kv)
+    s = s * scale
+
+    # mask out kv padding in the last block (static check first)
+    if kv_len % block_kv != 0:
+        @pl.when(j == num_kv - 1)
+        def _mask():
+            pass  # handled below via where; pl.when can't return values
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+        s_masked = jnp.where(col < kv_len, s, -1e30)
+    else:
+        s_masked = s
+    s = s_masked
+
+    m_prev = m_scratch[:]  # (block_q, LANE)
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+    m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # (block_q, LANE) — all lanes equal
+    p = jnp.exp(s - m_new[:, :1])  # (block_q, block_kv)
+    l_new = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+
+    m_scratch[:] = m_new
+    l_scratch[:] = l_new
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, d_pad)
+    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + pv
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q3: jnp.ndarray,  # (BH, Nq_pad, Dp)
+    k3: jnp.ndarray,  # (BkvH, Nk_pad, Dp)
+    v3: jnp.ndarray,
+    *,
+    heads: int,
+    kv_repeat: int,
+    scale: float,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    bh, nq_pad, dp = q3.shape
+    _, nk_pad, _ = k3.shape
+    grid = (bh, nq_pad // block_q, nk_pad // block_kv)
+
+    fh = kv_repeat * heads  # q-batch entries sharing one kv-batch entry
+
+    def q_index(b, i, j):
+        return (b, i, 0)
+
+    def kv_index(b, i, j):
+        # q3 batch b = (clip * kv_repeat + frame) * heads + head
+        # kv3 batch  = clip * heads + head
+        return ((b // fh) * heads + b % heads, j, 0)
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, dp), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, dp), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), q_index, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, dp), q3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * nq_pad * nk_pad * dp,
+            bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize,
+            transcendentals=bh * nq_pad * nk_pad,
+        ),
+        interpret=interpret,
+    )(q3, k3, v3)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kv_repeat: int = 1,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas fused attention. Shapes as in module docstring."""
+    bq, nq, h, d = q.shape
+    bkv, nk, hk, dk = k.shape
+    assert (h, d) == (hk, dk) and v.shape == k.shape
+    assert bq == bkv * kv_repeat, (bq, bkv, kv_repeat)
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    dp = _round_up(d, _LANE)
+    block_q = _pick_block(nq, block_q)
+    block_kv = _pick_block(nk, block_kv)
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_kv)
+
+    # (B, N, H, D) -> (B*H, N, Dp): head becomes part of the grid batch.
+    def to3(x, n_pad):
+        b, n, _, _ = x.shape
+        x = jnp.swapaxes(x, 1, 2)  # (B, H, N, D)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, dp - d)))
+        return x.reshape(b * h, n_pad, dp)
+
+    q3 = to3(q, nq_pad)
+    k3 = to3(k, nk_pad)
+    v3 = to3(v, nk_pad)
+
+    o3 = _flash_forward(
+        q3, k3, v3,
+        heads=h, kv_repeat=kv_repeat, scale=scale, kv_len=nk,
+        block_q=block_q, block_kv=block_kv, interpret=interpret,
+    )
+    o = o3.reshape(bq, h, nq_pad, dp)[:, :, :nq, :d]
+    return jnp.swapaxes(o, 1, 2)  # (B, Nq, H, D)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp dispatcher
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention_pallas(q, k, v, kv_repeat, scale, interpret):
+    return flash_attention(
+        q, k, v, kv_repeat=kv_repeat, scale=scale, interpret=interpret
+    )
+
+
+def _attention_fwd(q, k, v, kv_repeat, scale, interpret):
+    out = _attention_pallas(q, k, v, kv_repeat, scale, interpret)
+    return out, (q, k, v)
+
+
+def _attention_bwd(kv_repeat, scale, interpret, res, g):
+    # Straightforward XLA backward: recompute probs, standard softmax VJP.
+    q, k, v = res
+    bq, nq, h, d = q.shape
+    bkv, nk, _, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qr = q.reshape(bkv, kv_repeat, nq, h, d)
+    gr = g.reshape(bkv, kv_repeat, nq, h, d)
+    s = jnp.einsum("brqhd,bkhd->brhqk", qr, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    dv = jnp.einsum("brhqk,brqhd->bkhd", p, gr, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("brqhd,bkhd->brhqk", gr, v, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds = ds * scale
+    dq = jnp.einsum("brhqk,bkhd->brqhd", ds, k, preferred_element_type=jnp.float32)
+    dk = jnp.einsum("brhqk,brqhd->bkhd", ds, qr, preferred_element_type=jnp.float32)
+    return (
+        dq.reshape(bq, nq, h, d).astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+    )
+
+
+_attention_pallas.defvjp(_attention_fwd, _attention_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kv_repeat: int = 1,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching attention entry point used by every model site.
+
+    impl: "auto" (pallas on TPU when profitable, else XLA), "pallas",
+    "pallas_interpret" (CPU testing), "xla".
+    """
+    if impl == "xla":
+        return xla_attention(q, k, v, kv_repeat=kv_repeat, scale=scale)
+    if impl == "pallas":
+        return _attention_pallas(q, k, v, kv_repeat, scale, False)
+    if impl == "pallas_interpret":
+        return _attention_pallas(q, k, v, kv_repeat, scale, True)
+    if impl != "auto":
+        raise ValueError(f"unknown impl: {impl}")
+    nk = k.shape[1]
+    # Short-KV sites (text/IP tokens, temporal f<=64) are bandwidth-trivial;
+    # XLA fuses them into one kernel already.  The fused kernel wins on the
+    # long spatial sequences and on cross-frame KV reuse.
+    if _on_tpu() and nk >= 128:
+        return _attention_pallas(q, k, v, kv_repeat, scale, False)
+    return xla_attention(q, k, v, kv_repeat=kv_repeat, scale=scale)

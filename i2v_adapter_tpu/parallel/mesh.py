@@ -1,0 +1,103 @@
+"""Device mesh and sharding rules.
+
+The reference's only distribution strategy is DDP via HF Accelerate/NCCL
+(SURVEY.md §2.5/§5.8).  The TPU-native equivalent: one ``jax.sharding.Mesh``
+with a ``data`` axis (batch sharded, params replicated, gradient psum
+inserted by XLA) plus an optional ``fsdp`` axis for ZeRO-style parameter/
+optimizer sharding — the analogue of the reference's half-wired DeepSpeed
+path (/root/reference/src/train_image_to_video.py:584-603).
+
+Multi-host: call :func:`init_distributed` first; the mesh spans all global
+devices with DCN as the outermost (data) axis so collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from i2v_adapter_tpu.config import MeshConfig
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+TENSOR_AXIS = "tensor"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (no-op on a single host)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def create_mesh(
+    config: MeshConfig = MeshConfig(),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, fsdp, tensor) mesh. Axis size -1 absorbs remaining
+    devices (like a reshape wildcard)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    sizes = [config.data, config.fsdp, config.tensor]
+    known = int(np.prod([s for s in sizes if s != -1]))
+    wild = [i for i, s in enumerate(sizes) if s == -1]
+    if len(wild) > 1:
+        raise ValueError("at most one mesh axis may be -1")
+    if wild:
+        if n % known != 0:
+            raise ValueError(f"{n} devices not divisible by {known}")
+        sizes[wild[0]] = n // known
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {sizes} != {n} devices")
+    arr = np.asarray(devices).reshape(sizes)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 (batch) over data+fsdp; everything else replicated."""
+    spec = P((DATA_AXIS, FSDP_AXIS), *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _largest_multiple_axis(shape, size: int) -> Optional[int]:
+    best = None
+    for i, d in enumerate(shape):
+        if d % size == 0 and (best is None or d > shape[best]):
+            best = i
+    return best
+
+
+def fsdp_spec(shape, fsdp_size: int, min_size: int = 2**16) -> P:
+    """ZeRO-3-style spec: shard the largest divisible axis of big params
+    over the fsdp axis; small params stay replicated."""
+    if fsdp_size <= 1 or int(np.prod(shape)) < min_size:
+        return P()
+    axis = _largest_multiple_axis(shape, fsdp_size)
+    if axis is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[axis] = FSDP_AXIS
+    return P(*spec)
+
+
+def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2**16):
+    """Apply fsdp_spec over a param pytree -> pytree of NamedShardings."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    return jax.tree.map(
+        lambda p: NamedSharding(mesh, fsdp_spec(p.shape, fsdp_size, min_size)),
+        params,
+    )

@@ -1,0 +1,402 @@
+"""Image-to-video inference pipeline.
+
+The functional equivalent of the reference ``I2VAdapterPipeline.__call__``
+(/root/reference/src/pipelines/pipeline_i2v_adapter.py:539-719):
+
+  1. CLIP-encode prompt (+negative) and IP-Adapter image
+  2. VAE-encode the condition image
+  3. build the PIA-style first-frame similarity prior: Gaussian-blurred
+     latents mixed with sharp ones by a per-element Bernoulli mask, noised
+     to the truncated schedule's first timestep (:647-656)
+  4. DDIM loop with classifier-free guidance, clamping the first-frame
+     latent to the condition image every step (:665-700)
+  5. VAE-decode all frames
+
+TPU-first design: the *entire* sampler — text/image encoders, VAE encode,
+prior construction, the denoise loop as ``lax.scan``, and VAE decode — is
+one jit-compiled function per (batch, frames, resolution, steps) bucket.
+No host round-trips inside a clip generation; CFG doubling and the
+first-frame clamp are straight-line XLA ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i2v_adapter_tpu.config import (
+    I2VModelConfig,
+    PipelineConfig,
+)
+from i2v_adapter_tpu.models import (
+    AutoencoderKL,
+    CLIPTextEncoder,
+    CLIPVisionEncoder,
+    VideoUNet,
+)
+from i2v_adapter_tpu.models.vae import decode_sliced
+from i2v_adapter_tpu.ops.blur import gaussian_blur
+from i2v_adapter_tpu.schedulers import add_noise, ddim_step, make_schedule
+from i2v_adapter_tpu.schedulers.ddim import ddim_schedule_arrays
+from i2v_adapter_tpu.utils import image as image_utils
+from i2v_adapter_tpu.utils.tokenizer import CLIPTokenizer
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class I2VAdapterPipeline:
+    """Holds model params + tokenizer; builds cached jitted samplers.
+
+    ``params`` is a dict with keys ``unet``, ``vae``, ``text_encoder`` and
+    (when IP-Adapter is enabled) ``image_encoder`` — each a Flax param tree.
+    """
+
+    def __init__(
+        self,
+        model_config: I2VModelConfig,
+        params: dict,
+        tokenizer: CLIPTokenizer,
+        pipeline_config: PipelineConfig = PipelineConfig(),
+    ):
+        self.config = model_config
+        self.pipe_config = pipeline_config
+        self.params = params
+        self.tokenizer = tokenizer
+        dtype = _DTYPES[pipeline_config.dtype]
+        self.dtype = dtype
+        self.unet = VideoUNet(model_config.unet, dtype=dtype)
+        self.vae = AutoencoderKL(model_config.vae, dtype=dtype)
+        self.text_encoder = CLIPTextEncoder(model_config.text_encoder, dtype=dtype)
+        self.image_encoder = (
+            CLIPVisionEncoder(model_config.image_encoder, dtype=dtype)
+            if model_config.unet.use_ip_adapter
+            else None
+        )
+        self.schedule = make_schedule(model_config.scheduler)
+
+    # ------------------------------------------------------------------
+    # loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        path: str,
+        model_config: Optional[I2VModelConfig] = None,
+        pipeline_config: PipelineConfig = PipelineConfig(),
+        i2v_adapter_path: Optional[str] = None,
+        motion_adapter_path: Optional[str] = None,
+        ip_adapter_path: Optional[str] = None,
+    ) -> "I2VAdapterPipeline":
+        """Assemble from torch-layout checkpoints on disk — the equivalent
+        of the reference's constructor surgery chain (UNet2D + motion
+        adapter + i2v adapter + IP adapter, pipeline_i2v_adapter.py:96,780).
+
+        ``path`` uses the diffusers directory layout: subfolders ``unet/``,
+        ``vae/``, ``text_encoder/``, ``tokenizer/``, optionally
+        ``image_encoder/``; adapters default to sibling subfolders.
+        """
+        import glob
+        import os
+
+        from i2v_adapter_tpu.utils import convert
+
+        model_config = model_config or I2VModelConfig()
+
+        def find_weights(sub):
+            for pattern in ("*.safetensors", "*.bin"):
+                hits = sorted(glob.glob(os.path.join(path, sub, pattern)))
+                if hits:
+                    return hits[0]
+            return None
+
+        unet_sd = convert.load_state_dict(find_weights("unet"))
+        motion_path = motion_adapter_path or find_weights("motion_adapter")
+        motion_sd = convert.load_state_dict(motion_path) if motion_path else None
+        adapter_path = i2v_adapter_path or find_weights("i2v_adapter")
+        adapter_sd = convert.load_state_dict(adapter_path) if adapter_path else None
+        ip_path = ip_adapter_path or find_weights("ip_adapter")
+        ip_sd = convert.load_state_dict(ip_path) if ip_path else None
+
+        params = {
+            "unet": {
+                "params": convert.convert_unet(
+                    unet_sd, model_config.unet, motion_sd, adapter_sd, ip_sd
+                )
+            },
+            "vae": {
+                "params": convert.convert_vae(
+                    convert.load_state_dict(find_weights("vae")), model_config.vae
+                )
+            },
+            "text_encoder": {
+                "params": convert.convert_clip_text(
+                    convert.load_state_dict(find_weights("text_encoder")),
+                    model_config.text_encoder,
+                )
+            },
+        }
+        if model_config.unet.use_ip_adapter:
+            params["image_encoder"] = {
+                "params": convert.convert_clip_vision(
+                    convert.load_state_dict(find_weights("image_encoder")),
+                    model_config.image_encoder,
+                )
+            }
+        tokenizer = CLIPTokenizer.from_pretrained(os.path.join(path, "tokenizer"))
+        return cls(model_config, params, tokenizer, pipeline_config)
+
+    # ------------------------------------------------------------------
+    # the jitted sampler
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=8)
+    def _sampler(
+        self,
+        batch: int,
+        num_frames: int,
+        height: int,
+        width: int,
+        num_inference_steps: int,
+        strength: float,
+        guidance_scale: float,
+        use_cfg: bool,
+        has_condition: bool,
+        decode_slice: int,
+    ):
+        """Build + jit the full clip-generation function for one shape
+        bucket (the 'bucketed jit shapes' serving strategy)."""
+        cfg = self.config
+        schedule = self.schedule
+        scale = cfg.vae.scaling_factor
+        f = num_frames
+        lh, lw = height // cfg.vae.spatial_scale_factor, width // cfg.vae.spatial_scale_factor
+        ts, prev = ddim_schedule_arrays(
+            cfg.scheduler, num_inference_steps, strength if has_condition else 1.0
+        )
+        pcfg = self.pipe_config
+
+        def sample_fn(params, text_ids, cond_image, clip_image, rng):
+            # text_ids: (2B or B, L); cond_image: (B, H, W, 3) in [-1, 1];
+            # clip_image: (B, 224, 224, 3) CLIP-normalized.
+            rng_noise, rng_prior, rng_mask, rng_vae, rng_sigma = jax.random.split(
+                rng, 5
+            )
+
+            text_states = self.text_encoder.apply(params["text_encoder"], text_ids)
+
+            if cfg.unet.use_ip_adapter:
+                image_embeds = self.image_encoder.apply(
+                    params["image_encoder"], clip_image
+                )
+                if use_cfg:
+                    image_embeds = jnp.concatenate(
+                        [jnp.zeros_like(image_embeds), image_embeds], axis=0
+                    )
+            else:
+                image_embeds = None
+
+            if has_condition:
+                cond_latents = (
+                    self.vae.apply(
+                        params["vae"], cond_image.astype(self.dtype),
+                        rng_vae, method=self.vae.encode,
+                    )
+                    * scale
+                )  # (B, lh, lw, 4)
+
+                # PIA similarity prior (:647-656): per-element Bernoulli mix
+                # of blurred and sharp condition latents over all frames.
+                sigma = (
+                    pcfg.blur_sigma
+                    if pcfg.blur_sigma is not None
+                    else jax.random.uniform(rng_sigma, (), minval=0.1, maxval=2.0)
+                )
+                blurred = gaussian_blur(
+                    cond_latents, pcfg.blur_kernel_size, sigma
+                )
+                prior_shape = (batch, f, lh, lw, cfg.unet.in_channels)
+                mask = (
+                    jax.random.uniform(rng_mask, prior_shape)
+                    < pcfg.frame_similarity_blurred_strength
+                ).astype(cond_latents.dtype)
+                prior = mask * blurred[:, None] + (1 - mask) * cond_latents[:, None]
+                noise = jax.random.normal(rng_prior, prior_shape, dtype=jnp.float32)
+                latents = add_noise(
+                    schedule, prior.astype(jnp.float32), noise,
+                    jnp.full((batch,), ts[0]),
+                )
+            else:
+                cond_latents = None
+                latents = jax.random.normal(
+                    rng_noise,
+                    (batch, f, lh, lw, cfg.unet.in_channels),
+                    dtype=jnp.float32,
+                )
+
+            # clips beyond the motion positional cap use windowed denoising
+            use_tiling = f > cfg.unet.motion_max_seq_length
+
+            def denoise_step(latents, t_pair):
+                t, tp = t_pair
+                if has_condition:
+                    latents = latents.at[:, 0].set(cond_latents.astype(latents.dtype))
+                model_in = (
+                    jnp.concatenate([latents] * 2, axis=0) if use_cfg else latents
+                )
+
+                def unet_call(x, anchored=False):
+                    return self.unet.apply(
+                        params["unet"],
+                        x.astype(self.dtype),
+                        jnp.full((x.shape[0],), t),
+                        text_states,
+                        image_embeds,
+                        enable_cross_frame_attn=has_condition,
+                    ).astype(jnp.float32)
+
+                if use_tiling:
+                    from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
+
+                    noise_pred = tiled_unet_call(
+                        lambda x, anchored: unet_call(x, anchored),
+                        model_in,
+                        window=pcfg.temporal_window,
+                        stride=pcfg.temporal_stride,
+                    )
+                else:
+                    noise_pred = unet_call(model_in)
+                if use_cfg:
+                    uncond, text = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance_scale * (text - uncond)
+                latents = ddim_step(
+                    schedule, noise_pred, jnp.full((batch,), t),
+                    jnp.full((batch,), tp), latents,
+                )
+                return latents, None
+
+            latents, _ = jax.lax.scan(
+                denoise_step, latents, (jnp.asarray(ts), jnp.asarray(prev))
+            )
+            if has_condition:
+                latents = latents.at[:, 0].set(cond_latents.astype(latents.dtype))
+
+            # decode all frames, micro-batched to bound memory.
+            flat = latents.reshape(batch * f, lh, lw, cfg.unet.in_channels)
+            flat = (flat / scale).astype(self.dtype)
+            video = decode_sliced(
+                lambda p, z: self.vae.apply(p, z, method=self.vae.decode),
+                params["vae"],
+                flat,
+                decode_slice,
+            )
+            video = video.reshape(batch, f, height, width, cfg.vae.out_channels)
+            return video.astype(jnp.float32)
+
+        return jax.jit(sample_fn)
+
+    # ------------------------------------------------------------------
+    # user entry point
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        prompt: Union[str, Sequence[str]],
+        condition_image=None,
+        ip_adapter_image=None,
+        negative_prompt: Union[str, Sequence[str], None] = None,
+        num_frames: Optional[int] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        frame_similarity_sample_ratio: Optional[float] = None,
+        seed: int = 0,
+        output_type: str = "np",
+        decode_slice: int = 1,
+    ):
+        """Generate clips. Returns (B, F, H, W, 3) uint8 (output_type='np')
+        or float32 in [-1, 1] ('latent' returns raw latents)."""
+        pcfg = self.pipe_config
+        num_frames = num_frames or pcfg.num_frames
+        height = height or pcfg.height
+        width = width or pcfg.width
+        steps = num_inference_steps or pcfg.num_inference_steps
+        guidance = (
+            guidance_scale if guidance_scale is not None else pcfg.guidance_scale
+        )
+        strength = (
+            frame_similarity_sample_ratio
+            if frame_similarity_sample_ratio is not None
+            else pcfg.frame_similarity_sample_ratio
+        )
+
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        batch = len(prompts)
+        use_cfg = guidance > 1.0
+        has_condition = condition_image is not None
+
+        if negative_prompt is None:
+            negatives = [""] * batch
+        elif isinstance(negative_prompt, str):
+            negatives = [negative_prompt] * batch
+        else:
+            negatives = list(negative_prompt)
+
+        text_ids = self.tokenizer(
+            negatives + prompts if use_cfg else prompts, padding="max_length"
+        )
+
+        if has_condition:
+            cond = image_utils.preprocess_batch(condition_image, height, width)
+            if cond.shape[0] == 1 and batch > 1:
+                cond = np.repeat(cond, batch, axis=0)
+        else:
+            lat = self.config.vae.spatial_scale_factor
+            cond = np.zeros((batch, height, width, 3), dtype=np.float32)
+            del lat
+
+        ip_source = (
+            ip_adapter_image if ip_adapter_image is not None else condition_image
+        )
+        if self.config.unet.use_ip_adapter and ip_source is not None:
+            srcs = ip_source if isinstance(ip_source, (list, tuple)) else [ip_source]
+            clip_img = np.stack(
+                [
+                    image_utils.clip_preprocess(
+                        s, self.config.image_encoder.image_size
+                    )
+                    for s in srcs
+                ]
+            )
+            if clip_img.shape[0] == 1 and batch > 1:
+                clip_img = np.repeat(clip_img, batch, axis=0)
+        else:
+            s = self.config.image_encoder.image_size
+            clip_img = np.zeros((batch, s, s, 3), dtype=np.float32)
+
+        fn = self._sampler(
+            batch, num_frames, height, width, steps, float(strength),
+            float(guidance), use_cfg, has_condition, decode_slice,
+        )
+        video = fn(
+            self.params,
+            jnp.asarray(text_ids),
+            jnp.asarray(cond),
+            jnp.asarray(clip_img),
+            jax.random.PRNGKey(seed),
+        )
+        video = np.asarray(video)
+        if output_type == "pt" or output_type == "float":
+            return video
+        return image_utils.postprocess_video(video)
+
+    def export_gifs(self, video_uint8: np.ndarray, prefix: str, fps: int = 8) -> List[str]:
+        paths = []
+        for i, clip in enumerate(video_uint8):
+            paths.append(image_utils.export_to_gif(clip, f"{prefix}_{i}.gif", fps))
+        return paths

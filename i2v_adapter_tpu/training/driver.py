@@ -1,0 +1,341 @@
+"""Training driver: CLI + epoch loop.
+
+The library-level equivalent of the reference's ``accelerate launch
+src/train_image_to_video.py`` flow (/root/reference/src/
+train_image_to_video.py:469-974): build datasets, graft pretrained weights,
+freeze, train with the pjit step, sample validation GIFs, and write adapter
+checkpoints every ``checkpoint_epoch`` epochs.
+
+Run: ``python -m i2v_adapter_tpu.training.driver --task_name X
+--pretrained_model_path ... --csv_path ... --video_folder ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i2v_adapter_tpu.config import (
+    I2VModelConfig,
+    MeshConfig,
+    OptimizerConfig,
+    PipelineConfig,
+    TrainConfig,
+)
+from i2v_adapter_tpu.data.loader import DataLoader
+from i2v_adapter_tpu.data.webvid import WebVidDataset
+from i2v_adapter_tpu.parallel.mesh import batch_sharding, create_mesh
+from i2v_adapter_tpu.training import checkpoint as ckpt
+from i2v_adapter_tpu.training.state import create_train_state, make_optimizer
+from i2v_adapter_tpu.training.train_i2v import make_train_step
+from i2v_adapter_tpu.utils.metrics import MetricsLogger, StepTimer
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    """Flag surface mirroring the reference's
+    (/root/reference/src/train_image_to_video.py:208-467)."""
+    p = argparse.ArgumentParser(description="I2V-Adapter training (TPU)")
+    p.add_argument("--train_mode", type=str, default="i2v",
+                   choices=["i2v", "t2i"],
+                   help="'i2v': adapter/motion finetune on clips; 't2i': "
+                        "full-UNet single-frame base finetune")
+    p.add_argument("--task_name", type=str, required=True)
+    p.add_argument("--pretrained_model_path", type=str, required=True,
+                   help="dir with unet/ vae/ text_encoder/ tokenizer/ "
+                        "motion_adapter/ image_encoder/ ip_adapter/")
+    p.add_argument("--csv_path", type=str, required=True)
+    p.add_argument("--video_folder", type=str, required=True)
+    p.add_argument("--eval_csv_path", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="checkpoint")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--n_frames", type=int, default=16)
+    p.add_argument("--sample_stride", type=int, default=4)
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--num_train_epochs", type=int, default=10)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--noise_offset", type=float, default=0.0)
+    p.add_argument("--input_perturbation", type=float, default=0.0)
+    p.add_argument("--prediction_type", type=str, default=None)
+    p.add_argument("--mixed_precision", type=str, default="bfloat16",
+                   choices=["none", "bfloat16"])
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--update_motion_modules", action="store_true")
+    p.add_argument("--uncond_prob_t", type=float, default=0.0)
+    p.add_argument("--uncond_prob_i", type=float, default=0.0)
+    p.add_argument("--uncond_prob_ti", type=float, default=0.0)
+    p.add_argument("--first_frame_mode", type=str, default="scaled",
+                   choices=["scaled", "exact"])
+    p.add_argument("--checkpoint_epoch", type=int, default=2)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--data_fsdp", type=int, default=1,
+                   help="fsdp axis size of the mesh (ZeRO-style sharding)")
+    p.add_argument("--validation_epoch", type=int, default=0,
+                   help="sample eval GIFs every N epochs (0 = off)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps")
+    return p.parse_args(argv)
+
+
+def args_to_train_config(args) -> TrainConfig:
+    return TrainConfig(
+        train_mode=args.train_mode,
+        resolution=args.resolution,
+        num_frames=args.n_frames,
+        sample_stride=args.sample_stride,
+        train_batch_size=args.train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        num_train_epochs=args.num_train_epochs,
+        max_train_steps=args.max_train_steps,
+        seed=args.seed,
+        update_motion_modules=args.update_motion_modules,
+        snr_gamma=args.snr_gamma,
+        noise_offset=args.noise_offset,
+        input_perturbation=args.input_perturbation,
+        prediction_type=args.prediction_type,
+        uncond_prob_t=args.uncond_prob_t,
+        uncond_prob_i=args.uncond_prob_i,
+        uncond_prob_ti=args.uncond_prob_ti,
+        first_frame_mode=args.first_frame_mode,
+        gradient_checkpointing=args.gradient_checkpointing,
+        mixed_precision=args.mixed_precision,
+        use_ema=args.use_ema,
+        optimizer=OptimizerConfig(
+            learning_rate=args.learning_rate,
+            lr_scheduler=args.lr_scheduler,
+            lr_warmup_steps=args.lr_warmup_steps,
+            adam_beta1=args.adam_beta1,
+            adam_beta2=args.adam_beta2,
+            adam_weight_decay=args.adam_weight_decay,
+            adam_epsilon=args.adam_epsilon,
+            max_grad_norm=args.max_grad_norm,
+            scale_lr=args.scale_lr,
+        ),
+        mesh=MeshConfig(data=-1, fsdp=args.data_fsdp),
+        checkpoint_epoch=args.checkpoint_epoch,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+    )
+
+
+def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
+    from i2v_adapter_tpu.pipelines.i2v_pipeline import I2VAdapterPipeline
+
+    logging.basicConfig(level=logging.INFO)
+    tc = args_to_train_config(args)
+    model_config = model_config or I2VModelConfig()
+    if tc.train_mode == "t2i":
+        # base finetune: plain per-frame SD UNet, no adapter/motion/IP
+        model_config = model_config.replace(
+            unet=model_config.unet.replace(
+                use_motion_modules=False, use_i2v_adapter=False,
+                use_ip_adapter=False,
+            )
+        )
+
+    # ---- data ----
+    dataset = WebVidDataset(
+        args.csv_path, args.video_folder,
+        sample_size=tc.resolution, sample_stride=tc.sample_stride,
+        sample_n_frames=tc.num_frames, is_image=tc.train_mode == "t2i",
+        shard=jax.process_index(), num_shards=jax.process_count(),
+        seed=tc.seed,
+    )
+    loader = DataLoader(
+        dataset, tc.train_batch_size, shuffle=True,
+        num_workers=args.num_workers, seed=tc.seed,
+    )
+    steps_per_epoch = max(len(loader), 1)
+    total_steps = tc.max_train_steps or steps_per_epoch * tc.num_train_epochs
+
+    if tc.optimizer.scale_lr:
+        scaled = tc.optimizer.learning_rate * (
+            tc.gradient_accumulation_steps * tc.train_batch_size
+            * jax.process_count()
+        )
+        tc = tc.replace(optimizer=tc.optimizer.replace(learning_rate=scaled))
+
+    # ---- models & pretrained weights (the from_unet2d surgery chain) ----
+    pipe = I2VAdapterPipeline.from_pretrained(
+        args.pretrained_model_path, model_config,
+        PipelineConfig(dtype="bfloat16" if tc.mixed_precision == "bfloat16"
+                       else "float32"),
+    )
+    unet_params = pipe.params["unet"]
+
+    # resume: newest epoch_N under output_dir/task_name, or explicit dir
+    task_dir = os.path.join(args.output_dir, args.task_name)
+    first_epoch = args.start_epoch
+    resume_dir = args.resume_from_checkpoint
+    if resume_dir is None and tc.train_mode == "i2v":
+        latest = ckpt.find_latest_epoch(task_dir)
+        if latest is not None:
+            resume_dir = os.path.join(task_dir, f"epoch_{latest}")
+            first_epoch = latest
+    if tc.train_mode == "i2v" and resume_dir is not None and os.path.isdir(resume_dir):
+        logger.info("resuming adapters from %s", resume_dir)
+        unet_params = {
+            "params": ckpt.load_adapter_checkpoint(
+                unet_params["params"], model_config.unet, resume_dir
+            )
+        }
+
+    state, _ = create_train_state(
+        unet_params, tc, total_steps,
+        vae_params=pipe.params["vae"],
+        text_params=pipe.params["text_encoder"],
+        image_params=pipe.params.get("image_encoder"),
+    )
+    tx = make_optimizer(tc, total_steps)
+    mesh = create_mesh(tc.mesh) if jax.device_count() > 1 else None
+    step_fn = make_train_step(model_config, tc, tx, mesh=mesh)
+
+    n_train = sum(x.size for x in jax.tree.leaves(state.trainable))
+    n_total = n_train + sum(x.size for x in jax.tree.leaves(state.frozen))
+    logger.info("trainable params: %.2fM / %.2fM", n_train / 1e6, n_total / 1e6)
+
+    uncond_ids = pipe.tokenizer([""] * tc.train_batch_size, padding="max_length")
+    metrics_log = MetricsLogger(os.path.join(task_dir, "logs"))
+    timer = StepTimer()
+    rng = jax.random.PRNGKey(tc.seed)
+    global_step = int(first_epoch * steps_per_epoch)
+
+    def put(batch):
+        if mesh is None:
+            return batch
+        return {
+            k: jax.device_put(v, batch_sharding(mesh, np.asarray(v).ndim))
+            for k, v in batch.items()
+        }
+
+    for epoch in range(first_epoch, tc.num_train_epochs):
+        epoch_loss, n_steps = 0.0, 0
+        for batch in loader:
+            if args.profile_steps and global_step == 2:
+                jax.profiler.start_trace(os.path.join(task_dir, "profile"))
+            text_ids = pipe.tokenizer(batch.pop("text"), padding="max_length")
+            device_batch = put({
+                "pixel_values": batch["pixel_values"],
+                "clip_image": batch["clip_image"],
+                "text_ids": text_ids,
+                "uncond_ids": uncond_ids[: text_ids.shape[0]],
+            })
+            rng, step_rng = jax.random.split(rng)
+            with timer:
+                state, metrics = step_fn(state, device_batch, step_rng)
+            loss = float(metrics["loss"])
+            epoch_loss += loss
+            n_steps += 1
+            global_step += 1
+            if args.profile_steps and global_step == 2 + args.profile_steps:
+                jax.profiler.stop_trace()
+            if global_step % 10 == 0:
+                metrics_log.log(global_step, {
+                    "train_loss": loss,
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "step_time_s": timer.last,
+                    "steps_per_sec": timer.rate,
+                })
+            if tc.max_train_steps and global_step >= tc.max_train_steps:
+                break
+        logger.info(
+            "epoch %d: mean loss %.4f (%d steps, %.2f s/step)",
+            epoch + 1, epoch_loss / max(n_steps, 1), n_steps, timer.mean,
+        )
+
+        is_ckpt_epoch = (epoch + 1) % tc.checkpoint_epoch == 0
+        if is_ckpt_epoch and jax.process_index() == 0:
+            out = os.path.join(task_dir, f"epoch_{epoch + 1}")
+            unet_np = {
+                "params": jax.tree.map(np.asarray, state.unet_params["params"])
+            }
+            if tc.train_mode == "t2i":
+                # full-UNet finetune: export the whole UNet
+                ckpt.export_pipeline({"unet": unet_np}, model_config, out, tc)
+            else:
+                ckpt.save_adapter_checkpoint(
+                    unet_np, model_config.unet, out,
+                    save_motion=tc.update_motion_modules,
+                )
+            logger.info("saved checkpoint: %s", out)
+
+        if (
+            args.validation_epoch
+            and (epoch + 1) % args.validation_epoch == 0
+            and args.eval_csv_path
+            and jax.process_index() == 0
+        ):
+            _run_validation(args, pipe, state, model_config, task_dir, epoch)
+
+        if tc.max_train_steps and global_step >= tc.max_train_steps:
+            break
+
+    # final whole-pipeline export (reference :942-963)
+    if jax.process_index() == 0:
+        final_params = dict(pipe.params)
+        final_params["unet"] = {
+            "params": jax.tree.map(np.asarray, state.unet_params["params"])
+        }
+        ckpt.export_pipeline(
+            final_params, model_config,
+            os.path.join(task_dir, "pipeline"), tc,
+        )
+    return {"global_step": global_step, "last_loss": epoch_loss / max(n_steps, 1)}
+
+
+def _run_validation(args, pipe, state, model_config, task_dir, epoch):
+    """Periodic qualitative sampling (reference log_validation,
+    train_image_to_video.py:146-206)."""
+    import csv as csv_mod
+
+    from PIL import Image
+
+    with open(args.eval_csv_path, newline="") as f:
+        rows = list(csv_mod.DictReader(f))[:4]
+    pipe.params = dict(pipe.params)
+    pipe.params["unet"] = state.unet_params
+    out_dir = os.path.join(task_dir, f"samples_epoch_{epoch + 1}")
+    os.makedirs(out_dir, exist_ok=True)
+    for i, row in enumerate(rows):
+        image = Image.open(row["image_path"])
+        video = pipe(
+            row["prompt"], condition_image=image,
+            num_frames=args.n_frames, height=args.resolution,
+            width=args.resolution, num_inference_steps=25, seed=i,
+        )
+        pipe.export_gifs(video, os.path.join(out_dir, f"sample_{i}"))
+    logger.info("validation GIFs -> %s", out_dir)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    result = train(args)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Adapter / motion-module training step (data-parallel over a TPU mesh).
+
+Implements the full training semantics of the reference's main driver
+(/root/reference/src/train_image_to_video.py:782-899) and the legacy
+driver's extra behaviors (train_i2v_adapter.py:69-121):
+
+* VAE-encode frames, scale by scaling_factor
+* noise with ``noise[:, 0] = 0`` (first frame scaled-but-noiseless), or
+  ``first_frame_mode='exact'`` which restores the clean first frame
+* optional offset noise / input perturbation
+* per-video uniform timestep
+* CFG condition dropout (text -> empty-prompt embedding; image -> zeroed
+  image embeds AND zeroed first-frame latent)
+* epsilon / v-prediction targets; masked MSE excluding frame 0, or
+  SNR-gamma-weighted loss
+* grads only w.r.t. the trainable partition (adapter to_q/to_out
+  [+ motion modules]); AdamW, clipping, accumulation, EMA
+
+The whole step is one pjit-compiled function: batch sharded over the
+``data`` mesh axis, params replicated (or fsdp-sharded), gradient psum
+inserted by XLA — the reference's DDP/NCCL all-reduce without a line of
+communication code (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from i2v_adapter_tpu.config import I2VModelConfig, TrainConfig
+from i2v_adapter_tpu.models import (
+    AutoencoderKL,
+    CLIPTextEncoder,
+    CLIPVisionEncoder,
+    VideoUNet,
+)
+from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+from i2v_adapter_tpu.schedulers import add_noise, compute_snr, get_velocity, make_schedule
+from i2v_adapter_tpu.training.state import TrainState, ema_update, merge_params
+
+_DTYPES = {"none": jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def make_train_step(
+    model_config: I2VModelConfig,
+    train_config: TrainConfig,
+    tx,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returns ``step_fn(state, batch, rng) -> (state, metrics)`` where batch is
+    a dict of host arrays:
+      pixel_values: (B, F, H, W, 3) in [-1, 1]
+      text_ids:     (B, L) int32 (prompt tokens)
+      uncond_ids:   (B, L) int32 (empty-prompt tokens, for CFG dropout)
+      clip_image:   (B, S, S, 3) CLIP-preprocessed first frame
+    """
+    dtype = _DTYPES[train_config.mixed_precision]
+    ucfg = model_config.unet.replace(remat=train_config.gradient_checkpointing)
+    unet = VideoUNet(ucfg, dtype=dtype)
+    vae = AutoencoderKL(model_config.vae, dtype=dtype)
+    text_encoder = CLIPTextEncoder(model_config.text_encoder, dtype=dtype)
+    image_encoder = (
+        CLIPVisionEncoder(model_config.image_encoder, dtype=dtype)
+        if model_config.unet.use_ip_adapter
+        else None
+    )
+    scheduler_cfg = model_config.scheduler
+    if train_config.prediction_type is not None:
+        scheduler_cfg = scheduler_cfg.replace(
+            prediction_type=train_config.prediction_type
+        )
+    schedule = make_schedule(scheduler_cfg)
+    tc = train_config
+
+    is_t2i = tc.train_mode == "t2i"
+
+    def loss_fn(trainable, state: TrainState, batch, rng):
+        rng_t, rng_noise, rng_off, rng_pert, rng_vae, rng_drop = jax.random.split(
+            rng, 6
+        )
+        pixels = batch["pixel_values"]
+        if is_t2i and pixels.ndim == 4:
+            pixels = pixels[:, None]  # single frames -> F=1 clips
+        b, f = pixels.shape[:2]
+
+        # ---- frozen encoders (no grad flows into them) ----
+        flat_pixels = pixels.reshape((b * f,) + pixels.shape[2:]).astype(dtype)
+        latents = (
+            vae.apply(state.vae, flat_pixels, rng_vae, method=vae.encode)
+            * model_config.vae.scaling_factor
+        )
+        latents = latents.reshape((b, f) + latents.shape[1:]).astype(jnp.float32)
+
+        # ---- CFG condition dropout (train_i2v_adapter.py:69-92) ----
+        p_t, p_i, p_ti = tc.uncond_prob_t, tc.uncond_prob_i, tc.uncond_prob_ti
+        u = jax.random.uniform(rng_drop, (b,))
+        drop_text = u < (p_t + p_ti)
+        drop_image = (u >= p_t) & (u < p_t + p_i + p_ti)
+
+        ids = jnp.where(drop_text[:, None], batch["uncond_ids"], batch["text_ids"])
+        text_states = text_encoder.apply(state.text_encoder, ids)
+
+        if image_encoder is not None:
+            image_embeds = image_encoder.apply(
+                state.image_encoder, batch["clip_image"].astype(dtype)
+            )
+            image_embeds = jnp.where(
+                drop_image[:, None], jnp.zeros_like(image_embeds), image_embeds
+            )
+        else:
+            image_embeds = None
+        if not is_t2i:
+            latents = latents.at[:, 0].multiply(
+                (~drop_image).astype(latents.dtype)[:, None, None, None]
+            )
+
+        # ---- noising (train_image_to_video.py:795-813) ----
+        noise = jax.random.normal(rng_noise, latents.shape, dtype=jnp.float32)
+        if not is_t2i:
+            noise = noise.at[:, 0].set(0.0)
+        if tc.noise_offset > 0:
+            offset = jax.random.normal(
+                rng_off, (b, f, 1, 1, latents.shape[-1]), dtype=jnp.float32
+            )
+            noise = noise + tc.noise_offset * offset
+        t_lo = 1 if tc.first_frame_mode == "exact" else 0
+        timesteps = jax.random.randint(
+            rng_t, (b,), t_lo, schedule.num_train_timesteps
+        )
+        if tc.input_perturbation > 0:
+            new_noise = noise + tc.input_perturbation * jax.random.normal(
+                rng_pert, noise.shape, dtype=jnp.float32
+            )
+            noisy = add_noise(schedule, latents, new_noise, timesteps)
+        else:
+            noisy = add_noise(schedule, latents, noise, timesteps)
+        if tc.first_frame_mode == "exact" and not is_t2i:
+            # legacy driver restores the clean first frame after noising
+            noisy = noisy.at[:, 0].set(latents[:, 0])
+
+        if schedule.prediction_type == "epsilon":
+            target = noise
+        elif schedule.prediction_type == "v_prediction":
+            target = get_velocity(schedule, latents, noise, timesteps)
+        else:
+            raise ValueError(schedule.prediction_type)
+
+        # ---- UNet forward with merged params ----
+        params = {"params": merge_params(trainable, state.frozen)}
+        pred = unet.apply(
+            params,
+            noisy.astype(dtype),
+            timesteps,
+            text_states,
+            image_embeds,
+            enable_cross_frame_attn=not is_t2i,
+        ).astype(jnp.float32)
+
+        # ---- loss (masked MSE / SNR-gamma), frame 0 excluded for i2v ----
+        se = (pred - target) ** 2
+        if tc.snr_gamma is None:
+            if is_t2i:
+                loss = jnp.mean(se)
+            else:
+                mask = jnp.ones_like(se).at[:, 0].set(0.0)
+                loss = jnp.sum(se * mask) / jnp.sum(mask)
+        else:
+            snr = compute_snr(schedule, timesteps)
+            if schedule.prediction_type == "v_prediction":
+                snr = snr + 1.0
+            weights = jnp.minimum(snr, tc.snr_gamma) / snr
+            per_video = jnp.mean(se, axis=tuple(range(1, se.ndim)))
+            loss = jnp.mean(per_video * weights)
+        return loss
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.trainable, state, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = jax.tree.map(lambda p, u: p + u, state.trainable, updates)
+        ema = (
+            ema_update(state.ema, trainable, tc.ema_decay)
+            if state.ema is not None
+            else None
+        )
+        grad_norm = optax_global_norm(grads)
+        state = state.replace(
+            step=state.step + 1,
+            trainable=trainable,
+            opt_state=opt_state,
+            ema=ema,
+        )
+        return state, {"loss": loss, "grad_norm": grad_norm}
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+
+    # ---- data-parallel pjit: batch sharded on (data, fsdp), state
+    # replicated (params) / fsdp-sharded where profitable ----
+    batch_spec = P((DATA_AXIS, FSDP_AXIS))
+    in_shardings = (
+        None,  # state sharding resolved by jit from its current placement
+        jax.tree.map(
+            lambda _: NamedSharding(mesh, batch_spec),
+            {"pixel_values": 0, "text_ids": 0, "uncond_ids": 0, "clip_image": 0},
+        ),
+        NamedSharding(mesh, P()),
+    )
+    return jax.jit(
+        train_step, in_shardings=in_shardings, donate_argnums=donate_argnums
+    )
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))

@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# This box's XLA-CPU (oneDNN) defaults to low-precision matmuls (~bf16:
+# 64x64 fp32 matmul error ~7e-2).  Numerical tests need real fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

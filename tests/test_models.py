@@ -1,0 +1,158 @@
+"""Model shape and invariant tests on the tiny config (reference test
+matrix: /root/reference/test/test_i2v_adapter.py,
+test_unet_motion_cross_frame_attn.py — shapes, cross-frame on/off — plus
+the zero-init-adapter no-op invariant the reference only implements)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from i2v_adapter_tpu.config import tiny_test_config
+from i2v_adapter_tpu.models import (
+    AutoencoderKL,
+    CLIPTextEncoder,
+    CLIPVisionEncoder,
+    VideoUNet,
+)
+from i2v_adapter_tpu.models.temporal import TemporalTransformer
+
+CFG = tiny_test_config()
+B, F, H, W = 2, 4, 8, 8
+L_TEXT = 6
+
+
+@pytest.fixture(scope="module")
+def unet_and_params():
+    unet = VideoUNet(CFG.unet)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((B, F, H, W, 4))
+    text = jnp.zeros((B, L_TEXT, CFG.unet.cross_attention_dim))
+    img = jnp.zeros((B, CFG.unet.image_embed_dim))
+    params = unet.init(rng, sample, jnp.array([0.0]), text, img)
+    return unet, params
+
+
+def _inputs(seed=0):
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(k, 3)
+    sample = jax.random.normal(k1, (B, F, H, W, 4))
+    text = jax.random.normal(k2, (B, L_TEXT, CFG.unet.cross_attention_dim))
+    img = jax.random.normal(k3, (B, CFG.unet.image_embed_dim))
+    return sample, text, img
+
+
+def test_unet_forward_shape(unet_and_params):
+    unet, params = unet_and_params
+    sample, text, img = _inputs()
+    out = unet.apply(params, sample, jnp.array([500.0, 10.0]), text, img,
+                     enable_cross_frame_attn=True)
+    assert out.shape == (B, F, H, W, 4)
+    out2 = unet.apply(params, sample, jnp.array(500.0), text, img,
+                      enable_cross_frame_attn=False)
+    assert out2.shape == (B, F, H, W, 4)
+
+
+def test_zero_init_adapter_is_noop(unet_and_params):
+    """With the adapter's to_out zeroed (the reference's init trick,
+    /root/reference/src/modules/i2v_adapter.py:179-182), cross-frame
+    attention ON must equal OFF exactly."""
+    unet, params = unet_and_params
+    flat = dict(flatten_dict(params, sep="/"))
+    zeroed = {
+        k: (jnp.zeros_like(v) if "i2v_adapter/to_out" in k else v)
+        for k, v in flat.items()
+    }
+    params_z = unflatten_dict(zeroed, sep="/")
+    sample, text, img = _inputs(1)
+    on = unet.apply(params_z, sample, jnp.array([3.0]), text, img,
+                    enable_cross_frame_attn=True)
+    off = unet.apply(params_z, sample, jnp.array([3.0]), text, img,
+                     enable_cross_frame_attn=False)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(off), atol=1e-6)
+
+
+def test_adapter_param_sites_exist(unet_and_params):
+    """Every spatial transformer block hosts an i2v_adapter attention
+    (16 sites in SD1.5; here tiny config has down0 + mid + up1)."""
+    _, params = unet_and_params
+    flat = flatten_dict(params, sep="/")
+    sites = {k.rsplit("/i2v_adapter", 1)[0] for k in flat if "i2v_adapter" in k}
+    assert any(s.startswith("params/down_blocks_0") for s in sites)
+    assert any(s.startswith("params/mid_block") for s in sites)
+    assert any(s.startswith("params/up_blocks_1") for s in sites)
+
+
+def test_first_frame_routing_semantics():
+    """Changing a non-first frame must not affect other frames through the
+    adapter; changing the FIRST frame must affect all frames (K/V routing,
+    /root/reference/src/modules/i2v_adapter.py:484-492)."""
+    cfg = CFG.unet
+    unet = VideoUNet(cfg)
+    sample, text, img = _inputs(2)
+    params = unet.init(jax.random.PRNGKey(1), sample, jnp.array([0.0]), text, img)
+    # make the adapter's output projection non-zero so routing is visible
+    flat = dict(flatten_dict(params, sep="/"))
+    bumped = {
+        k: (jnp.ones_like(v) * 0.05 if "i2v_adapter/to_out/kernel" in k else v)
+        for k, v in flat.items()
+    }
+    params = unflatten_dict(bumped, sep="/")
+
+    base = unet.apply(params, sample, jnp.array([3.0]), text, img,
+                      enable_cross_frame_attn=True)
+    # perturb frame 2 only -> frames 0,1,3 unchanged (no temporal mixing is
+    # false — motion modules mix frames. So instead: perturb first frame and
+    # check every frame changes; perturbation of last frame with motion
+    # modules off would need a different config. Keep the strong check:
+    sample_pert = sample.at[:, 0].add(1.0)
+    out = unet.apply(params, sample_pert, jnp.array([3.0]), text, img,
+                     enable_cross_frame_attn=True)
+    diff_per_frame = np.asarray(
+        jnp.mean(jnp.abs(out - base), axis=(0, 2, 3, 4))
+    )
+    assert (diff_per_frame > 1e-6).all(), diff_per_frame
+
+
+def test_temporal_transformer_shape_and_cap(rng):
+    m = TemporalTransformer(heads=2, dim_head=8, max_seq_length=8, groups=4)
+    x = jnp.asarray(rng.standard_normal((2 * 4, 4, 4, 16)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x, num_frames=4)
+    out = m.apply(params, x, num_frames=4)
+    assert out.shape == x.shape
+    with pytest.raises(ValueError):
+        x2 = jnp.zeros((2 * 16, 4, 4, 16))
+        m.apply(params, x2, num_frames=16)
+
+
+def test_vae_roundtrip_shapes(rng):
+    vae = AutoencoderKL(CFG.vae)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    params = vae.init(jax.random.PRNGKey(0), x)
+    z = vae.apply(params, x, method=vae.encode)
+    # two blocks -> one downsample -> spatial /2, latent channels 4
+    assert z.shape == (2, 8, 8, CFG.vae.latent_channels)
+    y = vae.apply(params, z, method=vae.decode)
+    assert y.shape == x.shape
+
+
+def test_clip_text_shape():
+    enc = CLIPTextEncoder(CFG.text_encoder)
+    ids = jnp.zeros((2, 12), dtype=jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), ids)
+    out = enc.apply(params, ids)
+    assert out.shape == (2, 12, CFG.text_encoder.hidden_size)
+    skip = enc.apply(params, ids, clip_skip=1)
+    assert skip.shape == out.shape
+    assert not np.allclose(np.asarray(out), np.asarray(skip))
+
+
+def test_clip_vision_shape(rng):
+    enc = CLIPVisionEncoder(CFG.image_encoder)
+    img = jnp.asarray(rng.standard_normal((2, 28, 28, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), img)
+    emb = enc.apply(params, img)
+    assert emb.shape == (2, CFG.image_encoder.projection_dim)
+    emb2, hidden = enc.apply(params, img, output_hidden_state=True)
+    assert hidden.shape == (2, 1 + 4, CFG.image_encoder.hidden_size)

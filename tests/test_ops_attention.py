@@ -1,0 +1,99 @@
+"""Fused-attention kernel family: XLA reference vs naive softmax math,
+Pallas (interpret mode on CPU) vs XLA, kv_repeat vs materialized broadcast,
+and the custom-VJP backward vs autodiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2v_adapter_tpu.ops.attention import (
+    dot_product_attention,
+    flash_attention,
+    xla_attention,
+)
+
+
+def naive_attention(q, k, v, kv_repeat=1):
+    bq, nq, h, d = q.shape
+    qf = q.astype(np.float64)
+    kf = np.repeat(k.astype(np.float64), kv_repeat, axis=0)
+    vf = np.repeat(v.astype(np.float64), kv_repeat, axis=0)
+    scores = np.einsum("bqhd,bkhd->bhqk", qf, kf) / np.sqrt(d)
+    scores -= scores.max(axis=-1, keepdims=True)
+    probs = np.exp(scores)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", probs, vf)
+
+
+@pytest.mark.parametrize("nq,nk,h,d", [(16, 16, 2, 8), (10, 7, 1, 12)])
+def test_xla_attention_matches_naive(rng, nq, nk, h, d):
+    q = rng.standard_normal((2, nq, h, d)).astype(np.float32)
+    k = rng.standard_normal((2, nk, h, d)).astype(np.float32)
+    v = rng.standard_normal((2, nk, h, d)).astype(np.float32)
+    out = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(
+        np.asarray(out), naive_attention(q, k, v), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_xla_attention_kv_repeat_equals_materialized(rng):
+    """kv_repeat=f must equal repeating first-frame K/V f times — the
+    semantics of the reference's einops.repeat broadcast
+    (/root/reference/src/modules/i2v_adapter.py:484-492)."""
+    f = 4
+    q = rng.standard_normal((2 * f, 12, 2, 8)).astype(np.float32)
+    kv = rng.standard_normal((2, 12, 2, 8)).astype(np.float32)
+    out = xla_attention(jnp.asarray(q), jnp.asarray(kv), jnp.asarray(kv), kv_repeat=f)
+    expected = naive_attention(q, kv, kv, kv_repeat=f)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "bq,bkv,nq,nk,h,d",
+    [
+        (2, 2, 64, 64, 2, 8),     # self-attn, blocks fit exactly
+        (4, 1, 40, 24, 1, 12),    # cross-frame (kv_repeat=4) + ragged sizes
+        (2, 2, 300, 77, 2, 40),   # text-cross-attn-like with SD head dim
+    ],
+)
+def test_pallas_interpret_matches_xla(rng, bq, bkv, nq, nk, h, d):
+    kv_repeat = bq // bkv
+    q = rng.standard_normal((bq, nq, h, d)).astype(np.float32)
+    k = rng.standard_normal((bkv, nk, h, d)).astype(np.float32)
+    v = rng.standard_normal((bkv, nk, h, d)).astype(np.float32)
+    ref = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        kv_repeat=kv_repeat)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_repeat=kv_repeat,
+        block_q=32, block_kv=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_custom_vjp_backward_matches_autodiff(rng):
+    q = rng.standard_normal((4, 8, 2, 8)).astype(np.float32)
+    kv = rng.standard_normal((2, 8, 2, 8)).astype(np.float32)
+
+    def loss_pallas(q, k, v):
+        out = dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_repeat=2,
+            impl="pallas_interpret",
+        )
+        return jnp.sum(out**2)
+
+    def loss_xla(q, k, v):
+        out = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            kv_repeat=2)
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, kv, kv)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, kv, kv)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_dispatcher_falls_back_on_cpu(rng):
+    q = rng.standard_normal((1, 130, 1, 8)).astype(np.float32)
+    out = dot_product_attention(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q))
+    assert out.shape == q.shape

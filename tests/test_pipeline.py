@@ -1,0 +1,77 @@
+"""End-to-end tiny pipeline test: random weights, 2 frames, 32px, 2 steps —
+exercises the full jitted sampler (prior, clamp loop, CFG, decode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2v_adapter_tpu.config import PipelineConfig, tiny_test_config
+from i2v_adapter_tpu.pipelines.i2v_pipeline import I2VAdapterPipeline
+from i2v_adapter_tpu.utils.tokenizer import make_test_tokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline(tmp_path_factory):
+    mc = tiny_test_config()
+    pc = PipelineConfig(
+        num_frames=2, height=32, width=32, num_inference_steps=2,
+        dtype="float32", blur_sigma=1.0,
+    )
+    tok = make_test_tokenizer(str(tmp_path_factory.mktemp("tok")))
+
+    rng = jax.random.PRNGKey(0)
+    lat = 32 // mc.vae.spatial_scale_factor
+    from i2v_adapter_tpu.models import (
+        AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder, VideoUNet,
+    )
+
+    unet = VideoUNet(mc.unet)
+    vae = AutoencoderKL(mc.vae)
+    text_enc = CLIPTextEncoder(mc.text_encoder)
+    img_enc = CLIPVisionEncoder(mc.image_encoder)
+    s = mc.image_encoder.image_size
+    params = {
+        "unet": unet.init(
+            rng, jnp.zeros((1, 2, lat, lat, 4)), jnp.zeros(()),
+            jnp.zeros((1, 16, mc.unet.cross_attention_dim)),
+            jnp.zeros((1, mc.unet.image_embed_dim)),
+            enable_cross_frame_attn=True,
+        ),
+        "vae": vae.init(rng, jnp.zeros((1, 32, 32, 3))),
+        "text_encoder": text_enc.init(rng, jnp.zeros((1, 16), jnp.int32)),
+        "image_encoder": img_enc.init(rng, jnp.zeros((1, s, s, 3))),
+    }
+    return I2VAdapterPipeline(mc, params, tok, pc)
+
+
+def test_generate_shapes_and_range(tiny_pipeline):
+    img = (np.random.default_rng(0).random((40, 48, 3)) * 255).astype(np.uint8)
+    video = tiny_pipeline("a cat", condition_image=img, seed=1)
+    assert video.shape == (1, 2, 32, 32, 3)
+    assert video.dtype == np.uint8
+
+
+def test_generate_batch_and_determinism(tiny_pipeline):
+    img = (np.random.default_rng(1).random((32, 32, 3)) * 255).astype(np.uint8)
+    v1 = tiny_pipeline(["a cat", "a dog"], condition_image=img, seed=7)
+    v2 = tiny_pipeline(["a cat", "a dog"], condition_image=img, seed=7)
+    assert v1.shape == (2, 2, 32, 32, 3)
+    np.testing.assert_array_equal(v1, v2)
+    v3 = tiny_pipeline(["a cat", "a dog"], condition_image=img, seed=8)
+    assert not np.array_equal(v1, v3)
+
+
+def test_no_cfg_path(tiny_pipeline):
+    img = np.zeros((32, 32, 3), np.uint8)
+    video = tiny_pipeline("a", condition_image=img, guidance_scale=1.0, seed=0)
+    assert video.shape == (1, 2, 32, 32, 3)
+
+
+def test_gif_export(tiny_pipeline, tmp_path):
+    img = np.zeros((32, 32, 3), np.uint8)
+    video = tiny_pipeline("a", condition_image=img, seed=0)
+    paths = tiny_pipeline.export_gifs(video, str(tmp_path / "clip"))
+    import os
+
+    assert os.path.exists(paths[0]) and os.path.getsize(paths[0]) > 0

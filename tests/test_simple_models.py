@@ -1,0 +1,121 @@
+"""From-scratch model zoo (SURVEY.md §2.3): shape matrix mirroring the
+reference's test/test_attention.py, test_resblock.py, test_unet.py,
+test_unet3d.py, plus a latent-trainer smoke step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2v_adapter_tpu.models.simple import (
+    AlphaBlender,
+    BasicTransformerBlock,
+    ResBlock,
+    SimpleUNet,
+    SimpleUNet3D,
+    VideoResBlock,
+    VideoTransformer,
+    positional_emb,
+)
+
+
+def test_positional_emb_shape():
+    out = positional_emb(jnp.arange(5), 16)
+    assert out.shape == (5, 16)
+
+
+def test_alpha_blender_modes(rng):
+    s = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    m = AlphaBlender()
+    params = m.init(jax.random.PRNGKey(0), s, t)
+    mixed = m.apply(params, s, t)
+    assert mixed.shape == s.shape
+    img_only = m.apply(params, s, t, True)
+    np.testing.assert_allclose(np.asarray(img_only), np.asarray(s), atol=1e-6)
+
+
+@pytest.mark.parametrize("use_cross", [False, True])
+def test_basic_transformer_block(rng, use_cross):
+    x = jnp.asarray(rng.standard_normal((2, 6, 16)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 3, 16)).astype(np.float32))
+    m = BasicTransformerBlock(heads=2, use_cross=use_cross)
+    params = m.init(jax.random.PRNGKey(0), x, ctx if use_cross else None)
+    out = m.apply(params, x, ctx if use_cross else None)
+    assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("image_only", [False, True])
+def test_video_transformer(rng, image_only):
+    x = jnp.asarray(rng.standard_normal((2 * 3, 4, 4, 16)).astype(np.float32))
+    m = VideoTransformer(heads=2)
+    params = m.init(jax.random.PRNGKey(0), x, num_frames=3)
+    out = m.apply(params, x, num_frames=3, image_only=image_only)
+    assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_resblock_shapes(rng, dims):
+    shape = (2, 4, 4, 8) if dims == 2 else (2, 3, 4, 4, 8)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    temb = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m = ResBlock(out_channels=12, dims=dims)
+    params = m.init(jax.random.PRNGKey(0), x, temb)
+    out = m.apply(params, x, temb)
+    assert out.shape == shape[:-1] + (12,)
+
+
+@pytest.mark.parametrize("image_only", [False, True])
+def test_video_resblock(rng, image_only):
+    x = jnp.asarray(rng.standard_normal((2 * 3, 4, 4, 8)).astype(np.float32))
+    temb = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    m = VideoResBlock(out_channels=8)
+    params = m.init(jax.random.PRNGKey(0), x, temb, num_frames=3)
+    out = m.apply(params, x, temb, num_frames=3, image_only=image_only)
+    assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("with_context", [False, True])
+def test_simple_unet(rng, with_context):
+    m = SimpleUNet(widths=(8, 16), attention_levels=(False, True), heads=2)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    t = jnp.asarray([1.0, 500.0])
+    ctx = (
+        jnp.asarray(rng.standard_normal((2, 3, 16)).astype(np.float32))
+        if with_context
+        else None
+    )
+    params = m.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = m.apply(params, x, t, ctx)
+    assert out.shape == (2, 8, 8, 4)
+
+
+@pytest.mark.parametrize("image_only", [False, True])
+def test_simple_unet3d(rng, image_only):
+    m = SimpleUNet3D(widths=(8, 16), attention_levels=(False, True), heads=2)
+    x = jnp.asarray(rng.standard_normal((1, 3, 8, 8, 4)).astype(np.float32))
+    t = jnp.asarray([10.0])
+    ctx = jnp.asarray(rng.standard_normal((1, 3, 16)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = m.apply(params, x, t, ctx, image_only=image_only)
+    assert out.shape == (1, 3, 8, 8, 4)
+
+
+def test_latent_trainer_step(rng):
+    from i2v_adapter_tpu.training.train_latent import make_latent_train_step
+
+    model = SimpleUNet(widths=(8, 16), attention_levels=(False, True), heads=2)
+    init_fn, step_fn, _ = make_latent_train_step(model, learning_rate=1e-3)
+    batch = {
+        "latents": jnp.asarray(
+            rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+        ),
+        "text_embeds": jnp.asarray(
+            rng.standard_normal((2, 3, 16)).astype(np.float32)
+        ),
+    }
+    params, opt_state = init_fn(jax.random.PRNGKey(0), batch)
+    params2, opt_state, loss = step_fn(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), params, params2)
+    assert max(jax.tree.leaves(moved)) > 0
