@@ -10,12 +10,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main() -> int:
@@ -115,6 +120,82 @@ def main() -> int:
         times.append(time.time() - t0)
     p50 = float(np.median(times))
     print(f"[bench] runs: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+
+    if os.environ.get("BENCH_BREAKDOWN"):
+        # component timings: one UNet denoise eval, full VAE decode, encoders
+        lat_in = jnp.zeros((2 * batch, frames, lat, lat, 4), dtype)
+        text_states = jnp.zeros((2 * batch, 77 + 4, 768), dtype)
+
+        def unet_once(p, x):
+            return pipe.unet.apply(
+                p, x, jnp.zeros((x.shape[0],)), text_states, None,
+                enable_cross_frame_attn=True,
+            )
+
+        cfg_noip = model_config.unet.replace(use_ip_adapter=False)
+        from i2v_adapter_tpu.models import VideoUNet as _VU
+
+        pipe_unet_noip = _VU(cfg_noip, dtype=dtype)
+
+        def unet_noip(p, x):
+            return pipe_unet_noip.apply(
+                p, x, jnp.zeros((x.shape[0],)), text_states, None,
+                enable_cross_frame_attn=True,
+            )
+
+        del unet_once, lat_in
+
+        def timed(name, f, make_input, iters=3):
+            # distinct inputs per call: the tunneled backend memoizes
+            # byte-identical dispatches
+            inputs = [make_input(jax.random.PRNGKey(100 + i)) for i in range(iters)]
+            out = f(inputs[0])
+            jax.block_until_ready(out)
+            t0 = time.time()
+            outs = [f(x) for x in inputs]
+            jax.block_until_ready(outs)
+            _ = [float(jnp.ravel(o)[0]) for o in outs]
+            print(f"[bench] {name}: {(time.time()-t0)/iters:.3f}s",
+                  file=sys.stderr)
+
+        unet_params_noip = params["unet"]
+        try:
+            timed(
+                f"unet denoise eval (x{steps - 3} steps)",
+                jax.jit(lambda x: unet_noip(unet_params_noip, x)),
+                lambda k: jax.random.normal(
+                    k, (2 * batch, frames, lat, lat, 4), dtype
+                ),
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] unet-only timing failed: {e}", file=sys.stderr)
+
+        from i2v_adapter_tpu.models.vae import decode_sliced
+
+        timed(
+            "vae decode 16f",
+            jax.jit(lambda z: decode_sliced(
+                lambda pp, zz: pipe.vae.apply(pp, zz, method=pipe.vae.decode),
+                params["vae"], z, 4,
+            )),
+            lambda k: jax.random.normal(k, (batch * frames, lat, lat, 4), dtype),
+        )
+        timed(
+            "text encode",
+            jax.jit(lambda ids: pipe.text_encoder.apply(params["text_encoder"], ids)),
+            lambda k: jax.random.randint(k, (2 * batch, 77), 0, 49408),
+        )
+        timed(
+            "image encode",
+            jax.jit(lambda x: pipe.image_encoder.apply(params["image_encoder"], x)),
+            lambda k: jax.random.normal(k, (batch, 224, 224, 3), dtype),
+        )
+        timed(
+            "vae encode 1f",
+            jax.jit(lambda x: pipe.vae.apply(params["vae"], x, method=pipe.vae.encode)),
+            lambda k: jax.random.normal(k, (batch, height, width, 3), dtype),
+        )
 
     print(json.dumps({
         "metric": "p50 clip latency, 512px 16-frame 25-step DDIM + CFG + IP-Adapter, bf16, 1 chip",

@@ -102,6 +102,8 @@ class VideoUNetConfig(_ConfigBase):
     ip_num_tokens: int = 4
     image_embed_dim: int = 1024
     ip_scale: float = 1.0
+    # FreeU skip re-weighting (s1, s2, b1, b2); None = off (ops/freeu.py).
+    freeu: Optional[Tuple[float, float, float, float]] = None
     # Rematerialization (gradient checkpointing) of heavy blocks under jit.
     remat: bool = False
     flash_attention: bool = True

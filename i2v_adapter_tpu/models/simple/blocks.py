@@ -148,18 +148,27 @@ class ResBlock(nn.Module):
     groups: int = 8
     kernel: Optional[tuple] = None
 
+    @staticmethod
+    def _groups(groups: int, channels: int) -> int:
+        g = min(groups, channels)
+        while channels % g:
+            g -= 1
+        return g
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
         c = x.shape[-1]
         k = self.kernel or ((3, 3) if self.dims == 2 else (3, 3, 3))
-        h = nn.GroupNorm(num_groups=self.groups, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self._groups(self.groups, c), name="norm1")(x)
         h = nn.gelu(h)
         h = nn.Conv(self.out_channels, k, padding="SAME", name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, name="temb_proj")(nn.gelu(temb))
             t = t.reshape(t.shape[:1] + (1,) * (x.ndim - 2) + (self.out_channels,))
             h = h + t
-        h = nn.GroupNorm(num_groups=self.groups, name="norm2")(h)
+        h = nn.GroupNorm(
+            num_groups=self._groups(self.groups, self.out_channels), name="norm2"
+        )(h)
         h = nn.gelu(h)
         h = nn.Conv(self.out_channels, k, padding="SAME", name="conv2")(h)
         if c != self.out_channels:

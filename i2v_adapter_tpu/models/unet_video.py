@@ -120,13 +120,16 @@ class DownBlock(nn.Module):
 
 
 class UpBlock(nn.Module):
-    """Up block with skip-concat resnets (reference :342-529)."""
+    """Up block with skip-concat resnets (reference :342-529); FreeU skip
+    re-weighting applied on the two coarsest stages when configured
+    (reference :453-476)."""
 
     config: VideoUNetConfig
     out_channels: int
     num_layers: int
     has_attention: bool
     add_upsample: bool
+    stage: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -143,6 +146,12 @@ class UpBlock(nn.Module):
         cfg = self.config
         for i in range(self.num_layers):
             skip = skips[-(i + 1)]
+            if cfg.freeu is not None:
+                from i2v_adapter_tpu.ops.freeu import FreeUParams, apply_freeu
+
+                x, skip = apply_freeu(
+                    self.stage, x, skip, FreeUParams(*cfg.freeu)
+                )
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlock2D(
                 out_channels=self.out_channels, groups=cfg.norm_num_groups,
@@ -332,6 +341,7 @@ class VideoUNet(nn.Module):
                 num_layers=num_layers,
                 has_attention=cfg.up_block_has_attention[i],
                 add_upsample=i < n_blocks - 1,
+                stage=i,
                 dtype=self.dtype,
                 name=f"up_blocks_{i}",
             )(x, block_skips, emb, ctx, **block_kwargs)

@@ -79,6 +79,67 @@ class I2VAdapterPipeline:
         self.schedule = make_schedule(model_config.scheduler)
 
     # ------------------------------------------------------------------
+    # memory / quality toggles (reference pipeline :123-181)
+    # ------------------------------------------------------------------
+
+    def enable_freeu(self, s1=0.9, s2=0.2, b1=1.2, b2=1.4) -> None:
+        """FreeU skip re-weighting; rebuilds the UNet and drops compiled
+        sampler caches."""
+        self.config = self.config.replace(
+            unet=self.config.unet.replace(freeu=(s1, s2, b1, b2))
+        )
+        self.unet = VideoUNet(self.config.unet, dtype=self.dtype)
+        self._sampler.cache_clear()
+
+    def disable_freeu(self) -> None:
+        self.config = self.config.replace(
+            unet=self.config.unet.replace(freeu=None)
+        )
+        self.unet = VideoUNet(self.config.unet, dtype=self.dtype)
+        self._sampler.cache_clear()
+
+    def load_lora_weights(self, path: str, scale: float = 1.0) -> int:
+        """Merge a LoRA checkpoint into the UNet params (LoraLoaderMixin
+        analogue); returns the number of patched layers."""
+        from i2v_adapter_tpu.utils import convert
+        from i2v_adapter_tpu.utils.lora import merge_lora
+
+        sd = convert.load_state_dict(path)
+        merged, patched = merge_lora(self.params["unet"]["params"], sd, scale)
+        self.params = dict(self.params)
+        self.params["unet"] = {"params": merged}
+        self._sampler.cache_clear()
+        return patched
+
+    def load_textual_inversion(self, path: str, token: str) -> None:
+        """Load a learned-embedding checkpoint and register ``token``
+        (TextualInversionLoaderMixin analogue)."""
+        from i2v_adapter_tpu.utils import convert
+        from i2v_adapter_tpu.utils.lora import load_textual_inversion
+
+        sd = convert.load_state_dict(path)
+        if "string_to_param" in sd:  # A1111 format
+            emb = list(sd["string_to_param"].values())[0]
+        elif len(sd) == 1:  # diffusers format: {token: tensor}
+            emb = list(sd.values())[0]
+        else:
+            raise ValueError(f"unrecognized textual-inversion format: {list(sd)[:4]}")
+        self.params = dict(self.params)
+        new_text_params = load_textual_inversion(
+            self.params["text_encoder"]["params"], self.tokenizer,
+            np.asarray(emb), token,
+        )
+        self.params["text_encoder"] = {"params": new_text_params}
+        # the embedding table grew: rebuild the encoder with the new vocab
+        new_vocab = new_text_params["token_embedding"]["embedding"].shape[0]
+        self.config = self.config.replace(
+            text_encoder=self.config.text_encoder.replace(vocab_size=new_vocab)
+        )
+        self.text_encoder = CLIPTextEncoder(self.config.text_encoder,
+                                            dtype=self.dtype)
+        self._sampler.cache_clear()
+
+    # ------------------------------------------------------------------
     # loading
     # ------------------------------------------------------------------
 

@@ -43,7 +43,10 @@ def save_adapter_checkpoint(
 
     os.makedirs(os.path.join(directory, "i2v_adapter"), exist_ok=True)
     adapter_sd = convert.extract_i2v_adapter(unet_params, config)
-    adapter_sd = {k: np.asarray(v, dtype=np.float32) for k, v in adapter_sd.items()}
+    adapter_sd = {
+        k: np.ascontiguousarray(v, dtype=np.float32)
+        for k, v in adapter_sd.items()
+    }
     save_file(
         adapter_sd,
         os.path.join(directory, "i2v_adapter", "diffusion_pytorch_model.safetensors"),
@@ -52,7 +55,10 @@ def save_adapter_checkpoint(
         json.dump({"_class_name": "I2VAdapterModule", **config.to_dict()}, f)
     if save_motion:
         motion_sd = convert.extract_motion_modules(unet_params)
-        motion_sd = {k: np.asarray(v, dtype=np.float32) for k, v in motion_sd.items()}
+        motion_sd = {
+            k: np.ascontiguousarray(v, dtype=np.float32)
+            for k, v in motion_sd.items()
+        }
         os.makedirs(os.path.join(directory, "motion_modules"), exist_ok=True)
         save_file(
             motion_sd,
@@ -154,7 +160,7 @@ def export_pipeline(
         sub = os.path.join(directory, name)
         os.makedirs(sub, exist_ok=True)
         flat = {
-            k: np.asarray(v)
+            k: np.ascontiguousarray(v)
             for k, v in flatten_dict(tree, sep="/").items()
         }
         save_file(flat, os.path.join(sub, "flax_model.safetensors"))

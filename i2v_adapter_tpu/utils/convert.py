@@ -360,13 +360,20 @@ def convert_unet(
 # ---------------------------------------------------------------------------
 
 
+def _strip_params_wrapper(tree: dict) -> dict:
+    """Accept either the inner param tree or the {'params': ...} wrapper."""
+    if set(tree.keys()) == {"params"}:
+        return tree["params"]
+    return tree
+
+
 def extract_i2v_adapter(unet_params: dict, config: VideoUNetConfig) -> Flat:
     """Extract adapter weights from VideoUNet params into the torch
     I2VAdapterModule key layout (reference ``obtain_i2v_adapter_modules``,
     /root/reference/src/models/unet_motion_cross_frame_attn.py:1043-1058)."""
     from flax.traverse_util import flatten_dict
 
-    flat = flatten_dict(unet_params, sep="/")
+    flat = flatten_dict(_strip_params_wrapper(unet_params), sep="/")
     out: Flat = {}
     for key, val in flat.items():
         if "i2v_adapter" not in key:
@@ -398,7 +405,7 @@ def extract_motion_modules(unet_params: dict) -> Flat:
     (reference ``obtain_motion_modules``, :1060-1078)."""
     from flax.traverse_util import flatten_dict
 
-    flat = flatten_dict(unet_params, sep="/")
+    flat = flatten_dict(_strip_params_wrapper(unet_params), sep="/")
     out: Flat = {}
     for key, val in flat.items():
         if "motion_modules" not in key:
@@ -469,7 +476,7 @@ def merge_motion_modules(
             motion_sd, "mid_block.motion_modules.0.temporal_transformer",
             "mid_block/motion_modules_0", out,
         )
-    flat = dict(flatten_dict(unet_params, sep="/"))
+    flat = dict(flatten_dict(_strip_params_wrapper(unet_params), sep="/"))
     for k, v in out.items():
         if k not in flat:
             raise KeyError(f"motion key {k} not found in UNet params")
@@ -485,7 +492,7 @@ def merge_i2v_adapter(unet_params: dict, adapter_sd: Flat,
 
     from flax.traverse_util import flatten_dict, unflatten_dict
 
-    flat = dict(flatten_dict(unet_params, sep="/"))
+    flat = dict(flatten_dict(_strip_params_wrapper(unet_params), sep="/"))
     updated = 0
     for tkey, arr in adapter_sd.items():
         if "i2v_adapter" not in tkey:

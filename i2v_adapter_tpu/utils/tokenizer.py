@@ -134,13 +134,45 @@ class CLIPTokenizer:
         self._cache[token] = out
         return out
 
+    def add_tokens(self, tokens: List[str]) -> List[int]:
+        """Register placeholder tokens (textual inversion); returns new ids.
+        Added tokens are matched verbatim before BPE."""
+        ids = []
+        for t in tokens:
+            if t in self.encoder:
+                raise ValueError(f"token already exists: {t}")
+            self.encoder[t] = len(self.encoder)
+            self.decoder[self.encoder[t]] = t
+            ids.append(self.encoder[t])
+        self._added = getattr(self, "_added", set()) | set(tokens)
+        return ids
+
     def encode(self, text: str) -> List[int]:
-        """BPE ids without special tokens."""
+        """BPE ids without special tokens.  Added (textual-inversion)
+        placeholder tokens are matched verbatim before BPE splitting."""
+        added = getattr(self, "_added", set())
+        segments = [(_clean(text), False)]
+        if added:
+            import re as _re
+
+            pat = _re.compile(
+                "(" + "|".join(_re.escape(t.lower()) for t in sorted(added, key=len, reverse=True)) + ")"
+            )
+            segments = [
+                (seg, seg in {t.lower() for t in added})
+                for seg in pat.split(_clean(text))
+                if seg
+            ]
         ids: List[int] = []
-        for token in _PAT.findall(_clean(text)):
-            token_bytes = token.encode("utf-8")
-            mapped = "".join(self.byte_encoder[b] for b in token_bytes)
-            ids.extend(self.encoder[t] for t in self._bpe(mapped))
+        lower_added = {t.lower(): t for t in added}
+        for seg, is_added in segments:
+            if is_added:
+                ids.append(self.encoder[lower_added[seg]])
+                continue
+            for token in _PAT.findall(seg):
+                token_bytes = token.encode("utf-8")
+                mapped = "".join(self.byte_encoder[b] for b in token_bytes)
+                ids.extend(self.encoder[t] for t in self._bpe(mapped))
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
