@@ -2,12 +2,15 @@
 
 Equivalent of diffusers ``TransformerTemporalModel`` as instantiated by the
 reference (/root/reference/src/models/unet_motion_cross_frame_attn.py:232-244):
-GroupNorm over (C, F·H·W) → linear proj_in → N transformer blocks with
-*double self-attention* and interleaved-sinusoidal positional embeddings
-capped at ``max_seq_length`` → linear proj_out → residual.
+GroupNorm over (C, F·H·W) per clip → linear proj_in → N transformer blocks
+with *double self-attention* and interleaved-sinusoidal positional
+embeddings capped at ``max_seq_length`` → linear proj_out → residual.
 
-Tokens are the frames: the (B·F, H·W, C) activations reshape to
-(B·H·W, F, C) so every spatial location attends across time.
+TPU-first layout: activations stay (B, F, S, C) end to end — the torch
+stack's (B·H·W, F, C) permutation costs two full HBM transposes per motion
+site; here the frame-axis contraction is an einsum
+(ops.attention.temporal_attention) whose layout change XLA folds into the
+batched matmuls.
 """
 
 from __future__ import annotations
@@ -17,7 +20,8 @@ import math
 import flax.linen as nn
 import jax.numpy as jnp
 
-from i2v_adapter_tpu.models.attention import Attention, FeedForward
+from i2v_adapter_tpu.models.attention import FeedForward
+from i2v_adapter_tpu.ops.attention import temporal_attention
 
 
 def sinusoidal_positional_embedding(seq_len: int, dim: int) -> jnp.ndarray:
@@ -32,9 +36,27 @@ def sinusoidal_positional_embedding(seq_len: int, dim: int) -> jnp.ndarray:
     return pe
 
 
+class TemporalSelfAttention(nn.Module):
+    """Frame-axis MHA on (B, F, S, C) with diffusers projection naming."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        out = temporal_attention(q, k, v, heads=self.heads)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
 class TemporalBlock(nn.Module):
     """Transformer block with two self-attentions (double_self_attention=True,
-    the AnimateDiff motion-module configuration) and GEGLU FF."""
+    the AnimateDiff motion-module configuration) and GEGLU FF.
+    Input (B, F, S, C)."""
 
     dim: int
     heads: int
@@ -42,10 +64,9 @@ class TemporalBlock(nn.Module):
     max_seq_length: int = 32
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B', F, C)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         f = x.shape[1]
         if f > self.max_seq_length:
             raise ValueError(
@@ -53,20 +74,21 @@ class TemporalBlock(nn.Module):
                 f"{self.max_seq_length}"
             )
         pe = sinusoidal_positional_embedding(f, self.dim).astype(x.dtype)
+        pe = pe[None, :, None, :]  # (1, F, 1, C)
 
         ln = lambda name: nn.LayerNorm(
             epsilon=self.norm_eps, dtype=self.dtype, name=name
         )
-        norm_h = ln("norm1")(x) + pe[None]
-        x = x + Attention(
+        norm_h = ln("norm1")(x) + pe
+        x = x + TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn1",
+            name="attn1",
         )(norm_h)
 
-        norm_h = ln("norm2")(x) + pe[None]
-        x = x + Attention(
+        norm_h = ln("norm2")(x) + pe
+        x = x + TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn2",
+            name="attn2",
         )(norm_h)
 
         norm_h = ln("norm3")(x)
@@ -83,7 +105,7 @@ class TemporalTransformer(nn.Module):
     max_seq_length: int = 32
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "auto"
+    attn_impl: str = "auto"  # kept for config compatibility; einsum path
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, num_frames: int) -> jnp.ndarray:
@@ -96,24 +118,20 @@ class TemporalTransformer(nn.Module):
 
         # GroupNorm over channels jointly across (F, H, W) per clip — the
         # reference norms the (B, C, F, H, W) tensor, coupling frames.
-        xg = x.reshape(b, num_frames, h, w, c).reshape(b, num_frames * h * w, c)
-        xg = nn.GroupNorm(
+        tokens = x.reshape(b, num_frames * h * w, c)
+        tokens = nn.GroupNorm(
             num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm"
-        )(xg)
+        )(tokens)
 
-        # (B, F, H*W, C) -> (B*H*W, F, C): frames become the sequence.
-        tokens = xg.reshape(b, num_frames, h * w, c)
-        tokens = jnp.swapaxes(tokens, 1, 2).reshape(b * h * w, num_frames, c)
+        tokens = tokens.reshape(b, num_frames, h * w, c)  # (B, F, S, C)
         tokens = nn.Dense(inner, dtype=self.dtype, name="proj_in")(tokens)
 
         for i in range(self.num_layers):
             tokens = TemporalBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 max_seq_length=self.max_seq_length, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=f"transformer_blocks_{i}",
+                name=f"transformer_blocks_{i}",
             )(tokens)
 
         tokens = nn.Dense(c, dtype=self.dtype, name="proj_out")(tokens)
-        out = tokens.reshape(b, h * w, num_frames, c)
-        out = jnp.swapaxes(out, 1, 2).reshape(bf, h, w, c)
-        return out + residual
+        return tokens.reshape(bf, h, w, c) + residual

@@ -207,8 +207,8 @@ def flash_attention(
     *,
     kv_repeat: int = 1,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: int = 512,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas fused attention. Shapes as in module docstring."""
@@ -252,6 +252,8 @@ def flash_attention(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _attention_pallas(q, k, v, kv_repeat, scale, interpret):
+    # (512, 1024) blocks measured ~10x faster than (256, 512) on the
+    # dominant 4096-token sites of the 512px UNet (ops/tune.py, v5e).
     return flash_attention(
         q, k, v, kv_repeat=kv_repeat, scale=scale, interpret=interpret
     )
@@ -287,6 +289,33 @@ def _attention_bwd(kv_repeat, scale, interpret, res, g):
 
 
 _attention_pallas.defvjp(_attention_fwd, _attention_bwd)
+
+
+def temporal_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int
+) -> jnp.ndarray:
+    """Frame-axis self-attention without materialized transposes.
+
+    q/k/v: (B, F, S, C) — frames second, spatial tokens third.  The
+    (B·S, F, C) layout the torch reference materializes
+    (/root/reference via diffusers TransformerTemporalModel) costs two full
+    HBM transposes per motion site; expressing the contraction over F with
+    einsum lets XLA fold the layout change into the batched matmuls.
+    F is tiny (<=32) so flash blocking is pointless here.
+    """
+    b, f, s, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, f, s, heads, d)
+    kh = k.reshape(b, f, s, heads, d)
+    vh = v.reshape(b, f, s, heads, d)
+    scores = jnp.einsum(
+        "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "bshfg,bgshd->bfshd", probs, vh, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, f, s, c).astype(q.dtype)
 
 
 def _on_tpu() -> bool:

@@ -88,8 +88,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--first_frame_mode", type=str, default="scaled",
                    choices=["scaled", "exact"])
     p.add_argument("--checkpoint_epoch", type=int, default=2)
+    p.add_argument("--checkpointing_steps", type=int, default=0,
+                   help="also write full Orbax train-state checkpoints "
+                        "(params+optimizer+step) every N steps (0 = off); "
+                        "the accelerator.save_state analogue")
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
-    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help="adapter epoch dir, or 'latest' to restore the "
+                        "newest full Orbax train-state checkpoint")
     p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
@@ -162,6 +168,7 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         args.csv_path, args.video_folder,
         sample_size=tc.resolution, sample_stride=tc.sample_stride,
         sample_n_frames=tc.num_frames, is_image=tc.train_mode == "t2i",
+        clip_image_size=model_config.image_encoder.image_size,
         shard=jax.process_index(), num_shards=jax.process_count(),
         seed=tc.seed,
     )
@@ -191,12 +198,18 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
     task_dir = os.path.join(args.output_dir, args.task_name)
     first_epoch = args.start_epoch
     resume_dir = args.resume_from_checkpoint
+    resume_full = resume_dir == "latest"
     if resume_dir is None and tc.train_mode == "i2v":
         latest = ckpt.find_latest_epoch(task_dir)
         if latest is not None:
             resume_dir = os.path.join(task_dir, f"epoch_{latest}")
             first_epoch = latest
-    if tc.train_mode == "i2v" and resume_dir is not None and os.path.isdir(resume_dir):
+    if (
+        tc.train_mode == "i2v"
+        and not resume_full
+        and resume_dir is not None
+        and os.path.isdir(resume_dir)
+    ):
         logger.info("resuming adapters from %s", resume_dir)
         unet_params = {
             "params": ckpt.load_adapter_checkpoint(
@@ -210,8 +223,31 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         text_params=pipe.params["text_encoder"],
         image_params=pipe.params.get("image_encoder"),
     )
+
+    # Full train-state checkpointing (exact resume incl. optimizer state).
+    step_ckpt = None
+    if args.checkpointing_steps or resume_full:
+        step_ckpt = ckpt.TrainCheckpointer(
+            os.path.join(task_dir, "state"),
+            max_to_keep=tc.checkpoints_total_limit,
+        )
+    if resume_full and step_ckpt is not None:
+        restored, at_step = step_ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            first_epoch = int(at_step) // max(steps_per_epoch, 1)
+            logger.info("restored full train state at step %s", at_step)
     tx = make_optimizer(tc, total_steps)
-    mesh = create_mesh(tc.mesh) if jax.device_count() > 1 else None
+    n_dev = jax.device_count()
+    if n_dev > 1 and tc.train_batch_size % n_dev == 0:
+        mesh = create_mesh(tc.mesh)
+    else:
+        if n_dev > 1:
+            logger.warning(
+                "batch %d not divisible by %d devices; running single-device",
+                tc.train_batch_size, n_dev,
+            )
+        mesh = None
     step_fn = make_train_step(model_config, tc, tx, mesh=mesh)
 
     n_train = sum(x.size for x in jax.tree.leaves(state.trainable))
@@ -260,6 +296,12 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
                     "step_time_s": timer.last,
                     "steps_per_sec": timer.rate,
                 })
+            if (
+                step_ckpt is not None
+                and args.checkpointing_steps
+                and global_step % args.checkpointing_steps == 0
+            ):
+                step_ckpt.save(global_step, jax.tree.map(np.asarray, state))
             if tc.max_train_steps and global_step >= tc.max_train_steps:
                 break
         logger.info(

@@ -89,9 +89,16 @@ class CLIPTokenizer:
         self._cache = {}
 
     @classmethod
-    def from_pretrained(cls, path: str, context_length: int = 77) -> "CLIPTokenizer":
+    def from_pretrained(cls, path: str, context_length: int = None) -> "CLIPTokenizer":
         """Load from a directory holding vocab.json + merges.txt (the HF
-        tokenizer subfolder layout of an SD checkpoint)."""
+        tokenizer subfolder layout of an SD checkpoint).  Reads
+        model_max_length from tokenizer_config.json when present."""
+        if context_length is None:
+            cfg_path = os.path.join(path, "tokenizer_config.json")
+            context_length = 77
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    context_length = int(json.load(f).get("model_max_length", 77))
         return cls(
             os.path.join(path, "vocab.json"),
             os.path.join(path, "merges.txt"),
@@ -242,4 +249,6 @@ def make_test_tokenizer(tmpdir: str, vocab_words=("a", "cat", "dog")) -> CLIPTok
     with open(mpath, "w") as f:
         f.write("#version: test\n")
         f.write("\n".join(" ".join(m) for m in merges))
+    with open(os.path.join(tmpdir, "tokenizer_config.json"), "w") as f:
+        json.dump({"model_max_length": 16}, f)
     return CLIPTokenizer(vpath, mpath, context_length=16)
