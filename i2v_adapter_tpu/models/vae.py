@@ -190,6 +190,21 @@ def decode_sliced(apply_fn, params, z: jnp.ndarray, slice_size: int = 1):
     return out.reshape((n,) + out.shape[2:])
 
 
+def decode_sharded(apply_fn, params, z: jnp.ndarray, mesh):
+    """Frame-parallel VAE decode over a device mesh: frames sharded on the
+    (data, fsdp) axes, decoder params replicated.  The 64-frame/768px
+    equivalent the reference lacks (its VAE strategies are single-device
+    slicing/tiling — SURVEY.md §2.5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+
+    spec = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS), None, None, None))
+    z = jax.device_put(z, spec)
+    f = jax.jit(apply_fn, out_shardings=spec)
+    return f(params, z)
+
+
 def decode_tiled(
     apply_fn,
     params,

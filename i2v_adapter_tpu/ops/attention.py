@@ -292,28 +292,49 @@ _attention_pallas.defvjp(_attention_fwd, _attention_bwd)
 
 
 def temporal_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
+    impl: str = "vpu",
 ) -> jnp.ndarray:
-    """Frame-axis self-attention without materialized transposes.
+    """Frame-axis self-attention on (B, F, S, C) — frames second, spatial
+    tokens third (no (B·S, F, C) transpose round-trips like the torch
+    stack's TransformerTemporalModel layout).
 
-    q/k/v: (B, F, S, C) — frames second, spatial tokens third.  The
-    (B·S, F, C) layout the torch reference materializes
-    (/root/reference via diffusers TransformerTemporalModel) costs two full
-    HBM transposes per motion site; expressing the contraction over F with
-    einsum lets XLA fold the layout change into the batched matmuls.
-    F is tiny (<=32) so flash blocking is pointless here.
+    F is tiny (<=32), so the per-token F x F attention is thousands of
+    (16x40)@(40x16) matmuls — hopeless MXU shapes.  impl='vpu' expresses
+    the contraction as broadcast-multiply-reduce, which XLA fuses into
+    VPU streams with S on the lanes (measured several times faster than
+    the batched-matmul einsum lowering at 64x64); impl='mxu' keeps the
+    einsum form.
     """
     b, f, s, c = q.shape
     d = c // heads
     qh = q.reshape(b, f, s, heads, d)
     kh = k.reshape(b, f, s, heads, d)
     vh = v.reshape(b, f, s, heads, d)
-    scores = jnp.einsum(
-        "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32
-    ) * (1.0 / math.sqrt(d))
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum(
-        "bshfg,bgshd->bfshd", probs, vh, preferred_element_type=jnp.float32
+    scale = 1.0 / math.sqrt(d)
+
+    if impl == "mxu":
+        scores = jnp.einsum(
+            "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum(
+            "bshfg,bgshd->bfshd", probs, vh, preferred_element_type=jnp.float32
+        )
+        return out.reshape(b, f, s, c).astype(q.dtype)
+
+    # VPU path: scores[b,f,g,s,h] = sum_d q[b,f,s,h,d] * k[b,g,s,h,d].
+    # The multiply broadcasts over (f, g) and reduces over d — XLA fuses
+    # this into a streaming reduce; nothing (b,f,g,s,h,d)-sized hits HBM.
+    scores = jnp.sum(
+        qh[:, :, None].astype(jnp.float32) * kh[:, None].astype(jnp.float32),
+        axis=-1,
+    ) * scale  # (b, f, g, s, h)
+    probs = jax.nn.softmax(scores, axis=2)
+    # out[b,f,s,h,d] = sum_g probs[b,f,g,s,h] * v[b,g,s,h,d]
+    out = jnp.sum(
+        probs[..., None].astype(jnp.float32) * vh[:, None].astype(jnp.float32),
+        axis=2,
     )
     return out.reshape(b, f, s, c).astype(q.dtype)
 

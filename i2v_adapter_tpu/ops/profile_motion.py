@@ -37,11 +37,11 @@ def bench_scan(name, module, x_shape, dtype=jnp.bfloat16, **apply_kwargs):
     f = jax.jit(run)
     xs = [jax.random.normal(jax.random.PRNGKey(i), x_shape, dtype) for i in (2, 3)]
     out = f(params, xs[0])
-    jax.block_until_ready(out)
+    float(out.ravel()[0])  # block_until_ready is a no-op on the tunnel
     t0 = time.time()
     out = f(params, xs[1])
-    jax.block_until_ready(out)
-    per = (time.time() - t0 - 0.3) / N_ITERS
+    float(out.ravel()[0])
+    per = (time.time() - t0 - 0.07) / N_ITERS  # dispatch+readback overhead
     print(f"{name:34s} {per * 1e3:8.2f} ms", flush=True)
     return per
 
@@ -72,6 +72,7 @@ class ProjOnly(nn.Module):
 
 class AttnOnly(nn.Module):
     heads: int = 8
+    impl: str = "vpu"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -82,7 +83,7 @@ class AttnOnly(nn.Module):
         q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="q")(t)
         k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="k")(t)
         v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="v")(t)
-        o = temporal_attention(q, k, v, heads=self.heads)
+        o = temporal_attention(q, k, v, heads=self.heads, impl=self.impl)
         return (o + t).reshape(bf, h, w, c)
 
 
@@ -110,7 +111,8 @@ def main():
                                                        dtype=jnp.bfloat16)),
             ("groupnorm only", NormOnly()),
             ("proj in+out only", ProjOnly()),
-            ("temporal attn only", AttnOnly()),
+            ("temporal attn (vpu)", AttnOnly(impl="vpu")),
+            ("temporal attn (mxu)", AttnOnly(impl="mxu")),
             ("geglu ff only", FFOnly()),
         ):
             key = f"{name}@{hw}"
@@ -137,11 +139,11 @@ def main():
             f = jax.jit(lambda p, z, s=s: decode_sliced(
                 lambda pp, zz: vae.apply(pp, zz, method=vae.decode), p, z, s))
             out = f(params, z0)
-            jax.block_until_ready(out)
+            float(out.ravel()[0])
             t0 = time.time()
             out = f(params, z1)
-            jax.block_until_ready(out)
-            print(f"vae decode slice={s:2d}: {time.time() - t0 - 0.3:6.3f} s",
+            float(out.ravel()[0])
+            print(f"vae decode slice={s:2d}: {time.time() - t0 - 0.07:6.3f} s",
                   flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"vae decode slice={s}: FAILED {type(e).__name__}", flush=True)

@@ -97,3 +97,28 @@ def test_dispatcher_falls_back_on_cpu(rng):
     q = rng.standard_normal((1, 130, 1, 8)).astype(np.float32)
     out = dot_product_attention(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q))
     assert out.shape == q.shape
+
+
+def test_temporal_attention_vpu_matches_mxu(rng):
+    from i2v_adapter_tpu.ops.attention import temporal_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 4, 6, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    a = temporal_attention(q, k, v, heads=2, impl="vpu")
+    b = temporal_attention(q, k, v, heads=2, impl="mxu")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_attention_is_per_token(rng):
+    """Attention mixes frames but never spatial positions: changing token
+    s=3 must not affect other tokens' outputs."""
+    from i2v_adapter_tpu.ops.attention import temporal_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 4, 6, 16)).astype(np.float32))
+    out1 = temporal_attention(q, q, q, heads=2)
+    q2 = q.at[:, :, 3].add(1.0)
+    out2 = temporal_attention(q2, q2, q2, heads=2)
+    diff = np.abs(np.asarray(out1 - out2)).sum(axis=(0, 1, 3))
+    assert diff[3] > 0
+    np.testing.assert_allclose(diff[np.arange(6) != 3], 0, atol=1e-6)
