@@ -98,7 +98,7 @@ def main() -> int:
 
     fn = pipe._sampler(
         batch, frames, height, width, steps,
-        0.9, 7.5, True, True, 4,
+        0.9, 7.5, True, True, 0,
     )
 
     text_ids = jnp.zeros((2 * batch, 77), jnp.int32)

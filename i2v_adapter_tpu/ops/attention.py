@@ -293,7 +293,7 @@ _attention_pallas.defvjp(_attention_fwd, _attention_bwd)
 
 def temporal_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
-    impl: str = "vpu",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Frame-axis self-attention on (B, F, S, C) — frames second, spatial
     tokens third (no (B·S, F, C) transpose round-trips like the torch
@@ -313,6 +313,9 @@ def temporal_attention(
     vh = v.reshape(b, f, s, heads, d)
     scale = 1.0 / math.sqrt(d)
 
+    if impl == "auto":
+        # vpu wins 2x at 64x64 (s=4096); mxu wins at small s (v5e measured)
+        impl = "vpu" if s >= 2048 else "mxu"
     if impl == "mxu":
         scores = jnp.einsum(
             "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32

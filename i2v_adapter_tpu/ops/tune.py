@@ -21,13 +21,12 @@ SITES = [
     ("xfrm64 d40", 32, 2, 4096, 4096, 8, 40),
     ("spat32 d80", 32, 32, 1024, 1024, 8, 80),
     ("xfrm32 d80", 32, 2, 1024, 1024, 8, 80),
-    ("spat16 d160", 32, 32, 256, 256, 8, 160),
-    ("xfrm16 d160", 32, 2, 256, 256, 8, 160),
-    ("spat8 d160", 32, 32, 64, 64, 8, 160),
-    ("text64", 32, 32, 4096, 77, 8, 40),
-    ("ip64", 32, 32, 4096, 4, 8, 40),
-    ("temporal64", 8192, 8192, 16, 16, 8, 40),
 ]
+
+BLOCKS = (
+    (512, 1024), (512, 2048), (1024, 1024), (256, 4096), (512, 4096),
+    (1024, 2048),
+)
 
 
 def _bench(fn, arg_sets, iters: int = 6) -> float:
@@ -62,15 +61,8 @@ def main():
         flops = 4 * bq * h * nq * nk * d  # QK^T + PV
 
         results = {}
-        if bq * h * nq * nk * 4 < 4e9:  # skip XLA where scores would OOM
-            try:
-                f_x = jax.jit(lambda q, k, v: xla_attention(q, k, v, kv_repeat=rep))
-                results["xla"] = _bench(f_x, arg_sets)
-            except Exception as e:  # noqa: BLE001
-                results["xla"] = float("nan")
-                print(f"  xla failed: {type(e).__name__}")
-        for bq_blk, bkv_blk in ((256, 512), (512, 512), (256, 1024), (128, 256)):
-            if bq_blk > nq and bkv_blk > nk and (bq_blk, bkv_blk) != (256, 512):
+        for bq_blk, bkv_blk in BLOCKS:
+            if bq_blk > nq or bkv_blk > nk:
                 continue
             try:
                 f_p = jax.jit(

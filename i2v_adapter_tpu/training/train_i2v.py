@@ -184,21 +184,36 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(
             state.trainable, state, batch, rng
         )
+        grad_norm = optax_global_norm(grads)
+        # Non-finite guard: a bad batch (NaN/Inf loss or grads, e.g. a
+        # corrupted decode or fp16-style overflow) skips the update instead
+        # of poisoning params — fault tolerance the reference lacks
+        # (SURVEY.md §5.3).
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates
+        )
         trainable = jax.tree.map(lambda p, u: p + u, state.trainable, updates)
         ema = (
             ema_update(state.ema, trainable, tc.ema_decay)
             if state.ema is not None
             else None
         )
-        grad_norm = optax_global_norm(grads)
         state = state.replace(
             step=state.step + 1,
             trainable=trainable,
             opt_state=opt_state,
             ema=ema,
         )
-        return state, {"loss": loss, "grad_norm": grad_norm}
+        return state, {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "skipped_nonfinite": (~ok).astype(jnp.float32),
+        }
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
