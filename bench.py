@@ -197,6 +197,9 @@ def main() -> int:
             lambda k: jax.random.normal(k, (batch, height, width, 3), dtype),
         )
 
+    if os.environ.get("BENCH_TRAIN"):
+        _bench_train(model_config)
+
     print(json.dumps({
         "metric": "p50 clip latency, 512px 16-frame 25-step DDIM + CFG + IP-Adapter, bf16, 1 chip",
         "value": round(p50, 4),
@@ -204,6 +207,78 @@ def main() -> int:
         "vs_baseline": round(4.0 / p50, 3),
     }))
     return 0
+
+
+def _bench_train(model_config):
+    """Config-4 probe: adapter-training step time at the reference workload
+    (256px, 16 frames, per-device batch 4, bf16, remat) on one chip."""
+    from i2v_adapter_tpu.config import TrainConfig
+    from i2v_adapter_tpu.models import VideoUNet
+    from i2v_adapter_tpu.training.state import create_train_state, make_optimizer
+    from i2v_adapter_tpu.training.train_i2v import make_train_step
+
+    b, f, res = 4, 16, 256
+    tc = TrainConfig(
+        train_batch_size=b, num_frames=f, resolution=res,
+        gradient_accumulation_steps=1, mixed_precision="bfloat16",
+        gradient_checkpointing=True,
+    )
+    lat = res // model_config.vae.spatial_scale_factor
+    del lat
+
+    rng = jax.random.PRNGKey(0)
+    unet = VideoUNet(model_config.unet)
+    unet_shapes = jax.eval_shape(
+        lambda: unet.init(
+            rng, jnp.zeros((1, f, 32, 32, 4)), jnp.zeros(()),
+            jnp.zeros((1, 77, 768)), jnp.zeros((1, 1024)),
+            enable_cross_frame_attn=True,
+        )
+    )
+    zeros = lambda shapes: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    unet_params = zeros(unet_shapes)
+
+    from i2v_adapter_tpu.models import AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder
+
+    vae = AutoencoderKL(model_config.vae)
+    text_enc = CLIPTextEncoder(model_config.text_encoder)
+    img_enc = CLIPVisionEncoder(model_config.image_encoder)
+    vae_p = zeros(jax.eval_shape(
+        lambda: vae.init(rng, jnp.zeros((1, res, res, 3)))))
+    text_p = zeros(jax.eval_shape(
+        lambda: text_enc.init(rng, jnp.zeros((1, 77), jnp.int32))))
+    img_p = zeros(jax.eval_shape(
+        lambda: img_enc.init(rng, jnp.zeros((1, 224, 224, 3)))))
+
+    state, _ = create_train_state(unet_params, tc, 100, vae_p, text_p, img_p)
+    tx = make_optimizer(tc, 100)
+    step_fn = make_train_step(model_config, tc, tx)
+
+    def batch(i):
+        k = jax.random.PRNGKey(i)
+        k1, k2 = jax.random.split(k)
+        return {
+            "pixel_values": jax.random.normal(k1, (b, f, res, res, 3)),
+            "text_ids": jnp.zeros((b, 77), jnp.int32),
+            "uncond_ids": jnp.zeros((b, 77), jnp.int32),
+            "clip_image": jax.random.normal(k2, (b, 224, 224, 3)),
+        }
+
+    t0 = time.time()
+    state, m = step_fn(state, batch(0), jax.random.PRNGKey(0))
+    float(m["loss"])
+    print(f"[bench] train step compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    n = 4
+    for i in range(1, n + 1):
+        state, m = step_fn(state, batch(i), jax.random.PRNGKey(i))
+    float(m["loss"])
+    per = (time.time() - t0) / n
+    clips_s = b / per
+    print(
+        f"[bench] train step (256px b{b} f{f} remat bf16): {per:.3f}s "
+        f"({clips_s:.2f} clips/s/chip)", file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

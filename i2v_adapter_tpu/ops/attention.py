@@ -207,7 +207,7 @@ def flash_attention(
     *,
     kv_repeat: int = 1,
     scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:

@@ -80,12 +80,17 @@ def time_config(name: str, cfg: VideoUNetConfig, params=None):
 def main():
     base = VideoUNetConfig()  # ip branch needs image_embeds; drop it here
     base = base.replace(use_ip_adapter=False)
+    no_attn = (False,) * 4
     variants = [
         ("full (pallas attn)", base),
         ("no motion modules", base.replace(use_motion_modules=False)),
         ("no i2v adapter", base.replace(use_i2v_adapter=False)),
         ("2d unet only",
          base.replace(use_motion_modules=False, use_i2v_adapter=False)),
+        ("convs only (no attn/motion)",
+         base.replace(use_motion_modules=False, use_i2v_adapter=False,
+                      down_block_has_attention=no_attn,
+                      up_block_has_attention=no_attn)),
     ]
     for name, cfg in variants:
         try:

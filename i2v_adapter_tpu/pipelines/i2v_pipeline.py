@@ -228,6 +228,7 @@ class I2VAdapterPipeline:
         use_cfg: bool,
         has_condition: bool,
         decode_slice: int,
+        vae_tiling: bool = False,
     ):
         """Build + jit the full clip-generation function for one shape
         bucket (the 'bucketed jit shapes' serving strategy)."""
@@ -244,9 +245,8 @@ class I2VAdapterPipeline:
         def sample_fn(params, text_ids, cond_image, clip_image, rng):
             # text_ids: (2B or B, L); cond_image: (B, H, W, 3) in [-1, 1];
             # clip_image: (B, 224, 224, 3) CLIP-normalized.
-            rng_noise, rng_prior, rng_mask, rng_vae, rng_sigma = jax.random.split(
-                rng, 5
-            )
+            (rng_noise, rng_prior, rng_mask, rng_vae, rng_sigma,
+             rng_eta) = jax.random.split(rng, 6)
 
             text_states = self.text_encoder.apply(params["text_encoder"], text_ids)
 
@@ -302,7 +302,10 @@ class I2VAdapterPipeline:
             # clips beyond the motion positional cap use windowed denoising
             use_tiling = f > cfg.unet.motion_max_seq_length
 
-            def denoise_step(latents, t_pair):
+            eta = pcfg.eta
+
+            def denoise_step(carry, t_pair):
+                latents, step_key = carry
                 t, tp = t_pair
                 if has_condition:
                     latents = latents.at[:, 0].set(cond_latents.astype(latents.dtype))
@@ -323,25 +326,39 @@ class I2VAdapterPipeline:
                 if use_tiling:
                     from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
 
+                    # anchored windows prepend the global first frame, so the
+                    # window must leave room under the motion positional cap
+                    window = min(
+                        pcfg.temporal_window, cfg.unet.motion_max_seq_length - 1
+                    )
+                    stride = max(1, min(pcfg.temporal_stride, window - 1))
                     noise_pred = tiled_unet_call(
                         lambda x, anchored: unet_call(x, anchored),
                         model_in,
-                        window=pcfg.temporal_window,
-                        stride=pcfg.temporal_stride,
+                        window=window,
+                        stride=stride,
                     )
                 else:
                     noise_pred = unet_call(model_in)
                 if use_cfg:
                     uncond, text = jnp.split(noise_pred, 2, axis=0)
                     noise_pred = uncond + guidance_scale * (text - uncond)
+                if eta > 0.0:
+                    step_key, nkey = jax.random.split(step_key)
+                    step_noise = jax.random.normal(
+                        nkey, latents.shape, dtype=jnp.float32
+                    )
+                else:
+                    step_noise = None
                 latents = ddim_step(
                     schedule, noise_pred, jnp.full((batch,), t),
-                    jnp.full((batch,), tp), latents,
+                    jnp.full((batch,), tp), latents, eta=eta, noise=step_noise,
                 )
-                return latents, None
+                return (latents, step_key), None
 
-            latents, _ = jax.lax.scan(
-                denoise_step, latents, (jnp.asarray(ts), jnp.asarray(prev))
+            (latents, _), _ = jax.lax.scan(
+                denoise_step, (latents, rng_eta),
+                (jnp.asarray(ts), jnp.asarray(prev)),
             )
             if has_condition:
                 latents = latents.at[:, 0].set(cond_latents.astype(latents.dtype))
@@ -351,7 +368,14 @@ class I2VAdapterPipeline:
             # slicing kept as the low-memory fallback.
             flat = latents.reshape(batch * f, lh, lw, cfg.unet.in_channels)
             flat = (flat / scale).astype(self.dtype)
-            if decode_slice <= 0 or decode_slice >= batch * f:
+            if vae_tiling:
+                from i2v_adapter_tpu.models.vae import decode_tiled
+
+                video = decode_tiled(
+                    lambda p, z: self.vae.apply(p, z, method=self.vae.decode),
+                    params["vae"], flat,
+                )
+            elif decode_slice <= 0 or decode_slice >= batch * f:
                 video = self.vae.apply(params["vae"], flat, method=self.vae.decode)
             else:
                 video = decode_sliced(
@@ -384,6 +408,7 @@ class I2VAdapterPipeline:
         seed: int = 0,
         output_type: str = "np",
         decode_slice: int = 0,
+        vae_tiling: bool = False,
     ):
         """Generate clips. Returns (B, F, H, W, 3) uint8 (output_type='np')
         or float32 in [-1, 1] ('latent' returns raw latents)."""
@@ -448,6 +473,7 @@ class I2VAdapterPipeline:
         fn = self._sampler(
             batch, num_frames, height, width, steps, float(strength),
             float(guidance), use_cfg, has_condition, decode_slice,
+            vae_tiling,
         )
         video = fn(
             self.params,

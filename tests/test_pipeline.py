@@ -75,3 +75,41 @@ def test_gif_export(tiny_pipeline, tmp_path):
     import os
 
     assert os.path.exists(paths[0]) and os.path.getsize(paths[0]) > 0
+
+
+def test_eta_stochastic_ddim(tiny_pipeline):
+    """eta>0 adds per-step noise: same seed still deterministic, different
+    from eta=0 output."""
+    import dataclasses
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    # >=3 effective steps: with a single step the DDIM variance is zero by
+    # construction and eta is a mathematical no-op
+    v0 = tiny_pipeline("a", condition_image=img, seed=3, num_inference_steps=4)
+    old = tiny_pipeline.pipe_config
+    try:
+        tiny_pipeline.pipe_config = dataclasses.replace(old, eta=1.0)
+        tiny_pipeline._sampler.cache_clear()
+        v1 = tiny_pipeline("a", condition_image=img, seed=3,
+                           num_inference_steps=4)
+        v2 = tiny_pipeline("a", condition_image=img, seed=3,
+                           num_inference_steps=4)
+        np.testing.assert_array_equal(v1, v2)
+        assert not np.array_equal(v0, v1)
+    finally:
+        tiny_pipeline.pipe_config = old
+        tiny_pipeline._sampler.cache_clear()
+
+
+def test_vae_tiling_output_shape(tiny_pipeline):
+    img = np.zeros((64, 64, 3), np.uint8)
+    video = tiny_pipeline("a", condition_image=img, height=64, width=64,
+                          seed=0, vae_tiling=True)
+    assert video.shape == (1, 2, 64, 64, 3)
+
+
+def test_temporal_tiling_long_clip(tiny_pipeline):
+    """num_frames beyond the tiny motion cap (8) triggers windowed denoising."""
+    img = np.zeros((32, 32, 3), np.uint8)
+    video = tiny_pipeline("a", condition_image=img, num_frames=12, seed=0)
+    assert video.shape == (1, 12, 32, 32, 3)
