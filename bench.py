@@ -217,11 +217,11 @@ def _bench_train(model_config):
     from i2v_adapter_tpu.training.state import create_train_state, make_optimizer
     from i2v_adapter_tpu.training.train_i2v import make_train_step
 
-    b, f, res = 4, 16, 256
+    b, f, res = 2, 16, 256
     tc = TrainConfig(
         train_batch_size=b, num_frames=f, resolution=res,
         gradient_accumulation_steps=1, mixed_precision="bfloat16",
-        gradient_checkpointing=True,
+        gradient_checkpointing=True, freeze_dtype="bfloat16",
     )
     lat = res // model_config.vae.spatial_scale_factor
     del lat

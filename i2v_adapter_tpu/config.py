@@ -306,6 +306,10 @@ class TrainConfig(_ConfigBase):
     first_frame_mode: str = "scaled"
     gradient_checkpointing: bool = False
     mixed_precision: str = "bfloat16"  # "none" | "bfloat16"
+    # Storage dtype for frozen params (UNet backbone, VAE, CLIP) — the
+    # reference casts frozen models to the mixed-precision dtype
+    # (train_image_to_video.py:743-754).  Trainable params stay fp32.
+    freeze_dtype: str = "float32"  # "float32" | "bfloat16"
     use_ema: bool = False
     ema_decay: float = 0.9999
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)

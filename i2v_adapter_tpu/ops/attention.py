@@ -326,6 +326,25 @@ def temporal_attention(
         )
         return out.reshape(b, f, s, c).astype(q.dtype)
 
+    if impl == "vpu2":
+        # S-on-lanes layout: transpose to (B,H,F,D,S) so the d-reduction runs
+        # over sublanes and every elementwise op streams along the lanes.
+        qt = jnp.transpose(qh, (0, 3, 1, 4, 2))  # (b,h,f,d,s)
+        kt = jnp.transpose(kh, (0, 3, 1, 4, 2))
+        vt = jnp.transpose(vh, (0, 3, 1, 4, 2))
+        scores = jnp.sum(
+            qt[:, :, :, None].astype(jnp.float32)
+            * kt[:, :, None].astype(jnp.float32),
+            axis=-2,
+        ) * scale  # (b,h,f,g,s)
+        probs = jax.nn.softmax(scores, axis=3)
+        out = jnp.einsum(
+            "bhfgs,bhgds->bhfds", probs.astype(v.dtype), vt,
+            preferred_element_type=jnp.float32,
+        )
+        out = jnp.transpose(out, (0, 2, 4, 1, 3))  # (b,f,s,h,d)
+        return out.reshape(b, f, s, c).astype(q.dtype)
+
     # VPU path: scores[b,f,g,s,h] = sum_d q[b,f,s,h,d] * k[b,g,s,h,d].
     # The multiply broadcasts over (f, g) and reduces over d — XLA fuses
     # this into a streaming reduce; nothing (b,f,g,s,h,d)-sized hits HBM.

@@ -112,6 +112,7 @@ def main():
             ("groupnorm only", NormOnly()),
             ("proj in+out only", ProjOnly()),
             ("temporal attn (vpu)", AttnOnly(impl="vpu")),
+            ("temporal attn (vpu2)", AttnOnly(impl="vpu2")),
             ("temporal attn (mxu)", AttnOnly(impl="mxu")),
             ("geglu ff only", FFOnly()),
         ):

@@ -141,6 +141,17 @@ def create_train_state(
     n_train = sum(x.size for x in jax.tree.leaves(trainable))
     if n_train == 0:
         raise ValueError("freeze policy produced no trainable parameters")
+    if config.freeze_dtype == "bfloat16":
+        # frozen weights stored half-precision (reference casts frozen
+        # models to the mixed-precision dtype); trainable stay fp32
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "astype") and x.dtype == jnp.float32 else x, t
+        )
+        frozen = cast(frozen)
+        vae_params = cast(vae_params) if vae_params is not None else None
+        text_params = cast(text_params) if text_params is not None else None
+        image_params = cast(image_params) if image_params is not None else None
     tx = make_optimizer(config, total_steps)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

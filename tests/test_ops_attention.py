@@ -122,3 +122,14 @@ def test_temporal_attention_is_per_token(rng):
     diff = np.abs(np.asarray(out1 - out2)).sum(axis=(0, 1, 3))
     assert diff[3] > 0
     np.testing.assert_allclose(diff[np.arange(6) != 3], 0, atol=1e-6)
+
+
+def test_temporal_attention_vpu2_matches_mxu(rng):
+    from i2v_adapter_tpu.ops.attention import temporal_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 4, 6, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    a = temporal_attention(q, k, v, heads=2, impl="vpu2")
+    b = temporal_attention(q, k, v, heads=2, impl="mxu")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
