@@ -251,6 +251,9 @@ def _bench_train(model_config):
         lambda: img_enc.init(rng, jnp.zeros((1, 224, 224, 3)))))
 
     state, _ = create_train_state(unet_params, tc, 100, vae_p, text_p, img_p)
+    # free the fp32 originals — create_train_state made bf16 copies of the
+    # frozen trees; keeping both is ~14 GB and OOMs the chip
+    del unet_params, vae_p, text_p, img_p
     tx = make_optimizer(tc, 100)
     step_fn = make_train_step(model_config, tc, tx)
 

@@ -67,6 +67,10 @@ class DownBlock(nn.Module):
     num_layers: int
     has_attention: bool
     add_downsample: bool
+    # static per-trace call context (attributes, not call kwargs, so
+    # nn.remat doesn't turn them into tracers)
+    enable_cross_frame_attn: bool = False
+    num_frames: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -75,11 +79,10 @@ class DownBlock(nn.Module):
         x: jnp.ndarray,
         temb: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
-        *,
-        enable_cross_frame_attn: bool,
-        num_frames: int,
     ):
         cfg = self.config
+        enable_cross_frame_attn = self.enable_cross_frame_attn
+        num_frames = self.num_frames
         skips = []
         for i in range(self.num_layers):
             x = ResnetBlock2D(
@@ -130,6 +133,8 @@ class UpBlock(nn.Module):
     has_attention: bool
     add_upsample: bool
     stage: int = 0
+    enable_cross_frame_attn: bool = False
+    num_frames: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,11 +144,10 @@ class UpBlock(nn.Module):
         skips: Tuple[jnp.ndarray, ...],
         temb: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
-        *,
-        enable_cross_frame_attn: bool,
-        num_frames: int,
     ):
         cfg = self.config
+        enable_cross_frame_attn = self.enable_cross_frame_attn
+        num_frames = self.num_frames
         for i in range(self.num_layers):
             skip = skips[-(i + 1)]
             if cfg.freeu is not None:
@@ -195,6 +199,8 @@ class MidBlock(nn.Module):
     config: VideoUNetConfig
     channels: int
     num_layers: int = 1
+    enable_cross_frame_attn: bool = False
+    num_frames: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,11 +209,10 @@ class MidBlock(nn.Module):
         x: jnp.ndarray,
         temb: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
-        *,
-        enable_cross_frame_attn: bool,
-        num_frames: int,
     ):
         cfg = self.config
+        enable_cross_frame_attn = self.enable_cross_frame_attn
+        num_frames = self.num_frames
         x = ResnetBlock2D(
             out_channels=self.channels, groups=cfg.norm_num_groups,
             eps=cfg.norm_eps, dtype=self.dtype, name="resnets_0",
@@ -301,7 +306,7 @@ class VideoUNet(nn.Module):
             name="conv_in",
         )(x)
 
-        block_kwargs = dict(
+        block_ctx = dict(
             enable_cross_frame_attn=enable_cross_frame_attn, num_frames=f
         )
 
@@ -311,7 +316,7 @@ class VideoUNet(nn.Module):
         for i in range(n_blocks):
             block_cls = DownBlock
             if cfg.remat:
-                block_cls = nn.remat(DownBlock, static_argnums=(), prevent_cse=False)
+                block_cls = nn.remat(DownBlock, prevent_cse=False)
             x, block_skips = block_cls(
                 config=cfg,
                 out_channels=cfg.block_out_channels[i],
@@ -320,14 +325,16 @@ class VideoUNet(nn.Module):
                 add_downsample=i < n_blocks - 1,
                 dtype=self.dtype,
                 name=f"down_blocks_{i}",
-            )(x, emb, ctx, **block_kwargs)
+                **block_ctx,
+            )(x, emb, ctx)
             skips.extend(block_skips)
 
         # 5. mid.
-        x = MidBlock(
+        mid_cls = nn.remat(MidBlock, prevent_cse=False) if cfg.remat else MidBlock
+        x = mid_cls(
             config=cfg, channels=cfg.block_out_channels[-1], dtype=self.dtype,
-            name="mid_block",
-        )(x, emb, ctx, **block_kwargs)
+            name="mid_block", **block_ctx,
+        )(x, emb, ctx)
 
         # 6. up path.
         reversed_channels = tuple(reversed(cfg.block_out_channels))
@@ -335,7 +342,8 @@ class VideoUNet(nn.Module):
             num_layers = cfg.layers_per_block + 1
             block_skips = tuple(skips[-num_layers:])
             skips = skips[:-num_layers]
-            x = UpBlock(
+            up_cls = nn.remat(UpBlock, prevent_cse=False) if cfg.remat else UpBlock
+            x = up_cls(
                 config=cfg,
                 out_channels=reversed_channels[i],
                 num_layers=num_layers,
@@ -344,7 +352,8 @@ class VideoUNet(nn.Module):
                 stage=i,
                 dtype=self.dtype,
                 name=f"up_blocks_{i}",
-            )(x, block_skips, emb, ctx, **block_kwargs)
+                **block_ctx,
+            )(x, block_skips, emb, ctx)
 
         # 7. output head.
         x = nn.GroupNorm(

@@ -265,27 +265,41 @@ def _attention_fwd(q, k, v, kv_repeat, scale, interpret):
 
 
 def _attention_bwd(kv_repeat, scale, interpret, res, g):
-    # Straightforward XLA backward: recompute probs, standard softmax VJP.
+    # XLA backward, chunked over heads: the recomputed probs are
+    # (bkv, rep, nq, nk) fp32 per head — materializing all heads at once
+    # OOMs at training shapes (e.g. 8 x 128 MB x several sites live).
     q, k, v = res
     bq, nq, h, d = q.shape
     bkv, nk, _, _ = k.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    qr = q.reshape(bkv, kv_repeat, nq, h, d)
-    gr = g.reshape(bkv, kv_repeat, nq, h, d)
-    s = jnp.einsum("brqhd,bkhd->brhqk", qr, k, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s * scale, axis=-1)
-    dv = jnp.einsum("brhqk,brqhd->bkhd", p, gr, preferred_element_type=jnp.float32)
-    dp = jnp.einsum("brqhd,bkhd->brhqk", gr, v, preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    ds = ds * scale
-    dq = jnp.einsum("brhqk,bkhd->brqhd", ds, k, preferred_element_type=jnp.float32)
-    dk = jnp.einsum("brhqk,brqhd->bkhd", ds, qr, preferred_element_type=jnp.float32)
-    return (
-        dq.reshape(bq, nq, h, d).astype(q.dtype),
-        dk.astype(k.dtype),
-        dv.astype(v.dtype),
-    )
+    # (h, bkv, rep/1, n, d) layouts for lax.map over heads
+    qr = jnp.moveaxis(q.reshape(bkv, kv_repeat, nq, h, d), 3, 0)
+    gr = jnp.moveaxis(g.reshape(bkv, kv_repeat, nq, h, d), 3, 0)
+    kh = jnp.moveaxis(k, 2, 0)
+    vh = jnp.moveaxis(v, 2, 0)
+
+    def per_head(args):
+        qh, gh, kh1, vh1 = args  # (bkv,rep,nq,d), same, (bkv,nk,d), (bkv,nk,d)
+        s = jnp.einsum("brqd,bkd->brqk", qh, kh1,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s * scale, axis=-1)
+        dv = jnp.einsum("brqk,brqd->bkd", p, gh,
+                        preferred_element_type=jnp.float32)
+        dp = jnp.einsum("brqd,bkd->brqk", gh, vh1,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale
+        dq = jnp.einsum("brqk,bkd->brqd", ds, kh1,
+                        preferred_element_type=jnp.float32)
+        dk = jnp.einsum("brqk,brqd->bkd", ds, qh,
+                        preferred_element_type=jnp.float32)
+        return dq, dk, dv
+
+    dq, dk, dv = jax.lax.map(per_head, (qr, gr, kh, vh))
+    dq = jnp.moveaxis(dq, 0, 3).reshape(bq, nq, h, d)
+    dk = jnp.moveaxis(dk, 0, 2)
+    dv = jnp.moveaxis(dv, 0, 2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _attention_pallas.defvjp(_attention_fwd, _attention_bwd)

@@ -186,3 +186,25 @@ def test_grad_accumulation_multisteps(all_params):
         state3.trainable,
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_train_step_with_remat_and_bf16_frozen(all_params):
+    """gradient_checkpointing (nn.remat on blocks) + frozen bf16 storage."""
+    unet_params, vae_params, text_params, img_params = all_params
+    tc = TrainConfig(
+        train_batch_size=B, num_frames=F, resolution=RES,
+        gradient_accumulation_steps=1, mixed_precision="none",
+        gradient_checkpointing=True, freeze_dtype="bfloat16",
+    )
+    state, _ = create_train_state(
+        unet_params, tc, 10, vae_params, text_params, img_params
+    )
+    # frozen params stored in bf16, trainable stayed fp32
+    frozen_leaf = jax.tree.leaves(state.frozen)[0]
+    assert frozen_leaf.dtype == jnp.bfloat16
+    assert jax.tree.leaves(state.trainable)[0].dtype == jnp.float32
+    tx = make_optimizer(tc, 10)
+    step_fn = make_train_step(MC, tc, tx, donate=False)
+    state2, metrics = step_fn(state, _batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["skipped_nonfinite"]) == 0.0
