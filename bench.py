@@ -197,6 +197,29 @@ def main() -> int:
             lambda k: jax.random.normal(k, (batch, height, width, 3), dtype),
         )
 
+    if os.environ.get("BENCH_SERVE"):
+        # config 3: batched serving — 8 condition images per dispatch
+        sb = 8
+        fn8 = pipe._sampler(
+            sb, frames, height, width, steps, 0.9, 7.5, True, True, 16,
+        )
+        text8 = jnp.zeros((2 * sb, 77), jnp.int32)
+        cond8 = jnp.zeros((sb, height, width, 3), jnp.float32)
+        clip8 = jnp.zeros((sb, 224, 224, 3), jnp.float32)
+        t0 = time.time()
+        out = fn8(params, text8, cond8, clip8, jax.random.PRNGKey(0))
+        float(out.ravel()[0])
+        print(f"[bench] serve batch8 compile+run: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        out = fn8(params, text8, cond8, clip8, jax.random.PRNGKey(1))
+        float(out.ravel()[0])
+        dt = time.time() - t0
+        print(
+            f"[bench] serve batch8: {dt:.2f}s/batch = {sb / dt:.3f} clips/s "
+            f"= {sb * frames / dt:.2f} frames/s/chip", file=sys.stderr,
+        )
+
     if os.environ.get("BENCH_TRAIN"):
         _bench_train(model_config)
 

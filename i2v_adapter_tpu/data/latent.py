@@ -39,6 +39,48 @@ class LatentImageDataset:
         return {"latents": z, "text": self.captions[idx]}
 
 
+class ImageFolderDataset:
+    """Image-folder dataset with flip + [-1,1] normalization — the
+    ``obtain_dataloader``/torchvision ImageFolder equivalent
+    (/root/reference/src/data.py:16-25).  Images are resized/center-cropped
+    to ``sample_size``; caption = the containing folder name."""
+
+    IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
+
+    def __init__(self, root: str, sample_size: int = 256, flip: bool = True,
+                 seed: Optional[int] = None):
+        import glob
+
+        self.paths = sorted(
+            p
+            for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if p.lower().endswith(self.IMAGE_EXTS)
+        )
+        if not self.paths:
+            raise ValueError(f"no images under {root}")
+        self.sample_size = sample_size
+        self.flip = flip
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        from PIL import Image
+
+        from i2v_adapter_tpu.utils.image import resize_center_crop
+
+        path = self.paths[idx]
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        img = resize_center_crop(img, self.sample_size, self.sample_size)
+        if self.flip and self.rng.random() < 0.5:
+            img = img[:, ::-1]
+        return {
+            "pixel_values": np.ascontiguousarray(img * 2.0 - 1.0),
+            "text": os.path.basename(os.path.dirname(path)),
+        }
+
+
 class LatentVideoDataset:
     """Flat (sum_frames, h, w, c) latent array + frames_per_video index.
 

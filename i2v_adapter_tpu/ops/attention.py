@@ -328,8 +328,9 @@ def temporal_attention(
     scale = 1.0 / math.sqrt(d)
 
     if impl == "auto":
-        # vpu wins 2x at 64x64 (s=4096); mxu wins at small s (v5e measured)
-        impl = "vpu" if s >= 2048 else "mxu"
+        # S-on-lanes vpu2 wins at 64x64 (3.5 vs 8.8 ms mxu); mxu wins at
+        # small s (v5e measured, ops/profile_motion.py)
+        impl = "vpu2" if s >= 2048 else "mxu"
     if impl == "mxu":
         scores = jnp.einsum(
             "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32

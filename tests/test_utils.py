@@ -149,3 +149,22 @@ def test_latent_dataset(tmp_path):
     assert len(ds) == 2  # 3-frame video filtered out
     item = ds[0]
     assert item["latents"].shape == (4, 4, 4, 4)
+
+
+def test_image_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from i2v_adapter_tpu.data.latent import ImageFolderDataset
+
+    d = tmp_path / "cats"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(
+            (np.random.default_rng(i).random((40, 50, 3)) * 255).astype(np.uint8)
+        ).save(d / f"{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), sample_size=32, seed=0)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["pixel_values"].shape == (32, 32, 3)
+    assert item["text"] == "cats"
+    assert -1.01 <= item["pixel_values"].min() <= item["pixel_values"].max() <= 1.01
