@@ -47,14 +47,19 @@ void process_one_frame(const uint8_t* src, int h, int w, int c, float* dst,
   const int rw = static_cast<int>(std::lround(w * scale));
   const int top = (rh - th) / 2;
   const int left = (rw - tw) / 2;
+  // per-axis source-per-dest factors from the ROUNDED resize dims — this is
+  // what cv2.resize does; using the unrounded scale shifts sampling
+  // coordinates at non-square aspect ratios.
+  const float fy = static_cast<float>(h) / rh;
+  const float fx = static_cast<float>(w) / rw;
   for (int y = 0; y < th; ++y) {
     // map output pixel back to source coordinates (align-corners=false)
     const float sy =
-        std::min(std::max(((y + top) + 0.5f) / scale - 0.5f, 0.0f),
+        std::min(std::max(((y + top) + 0.5f) * fy - 0.5f, 0.0f),
                  static_cast<float>(h - 1));
     for (int x = 0; x < tw; ++x) {
       const float sx =
-          std::min(std::max(((x + left) + 0.5f) / scale - 0.5f, 0.0f),
+          std::min(std::max(((x + left) + 0.5f) * fx - 0.5f, 0.0f),
                    static_cast<float>(w - 1));
       for (int ch = 0; ch < c; ++ch) {
         float v = sample_bilinear(src, h, w, c, sy, sx, ch) / 255.0f;
