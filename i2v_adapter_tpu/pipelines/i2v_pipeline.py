@@ -208,6 +208,16 @@ class I2VAdapterPipeline:
                     model_config.image_encoder,
                 )
             }
+        if pipeline_config.dtype == "bfloat16":
+            # store serving weights in bf16 (halves HBM and weight reads;
+            # the reference likewise casts inference models to fp16)
+            import jax.numpy as jnp_
+
+            params = jax.tree.map(
+                lambda x: x.astype(jnp_.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == np.float32 else x,
+                params,
+            )
         tokenizer = CLIPTokenizer.from_pretrained(os.path.join(path, "tokenizer"))
         return cls(model_config, params, tokenizer, pipeline_config)
 
