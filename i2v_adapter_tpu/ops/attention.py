@@ -407,8 +407,10 @@ def dot_product_attention(
         raise ValueError(f"unknown impl: {impl}")
     nk = k.shape[1]
     # Short-KV sites (text/IP tokens, temporal f<=64) are bandwidth-trivial;
-    # XLA fuses them into one kernel already.  The fused kernel wins on the
-    # long spatial sequences and on cross-frame KV reuse.
+    # XLA fuses them into one kernel already (measured: pallas at nk=81 is
+    # ~20 ms/step SLOWER than the XLA path — lane padding 81->128 plus grid
+    # overhead beats the materialized-scores cost at these sizes).  The
+    # fused kernel wins on the long spatial sequences and cross-frame reuse.
     if _on_tpu() and nk >= 128:
         return _attention_pallas(q, k, v, kv_repeat, scale, False)
     return xla_attention(q, k, v, kv_repeat=kv_repeat, scale=scale)
