@@ -84,12 +84,16 @@ def xla_attention(
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-    *, scale: float, kv_len: int, block_kv: int,
+    *, kv_len: int, block_kv: int,
 ):
     """Online-softmax attention over one (batch*head, q-block) program.
 
     Grid = (BH, num_q_blocks, num_kv_blocks) with kv innermost; running max /
     sum / accumulator live in VMEM scratch across the kv iterations.
+
+    q arrives pre-scaled by ``scale * log2(e)`` so the scores live in log2
+    space: the softmax runs on ``exp2`` (what ``exp`` lowers to anyway) and
+    the per-element ``s * scale`` multiply disappears from the VPU hot path.
     """
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -104,28 +108,21 @@ def _flash_kernel(
     kb = k_ref[0]  # (block_kv, d_pad)
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_kv)
-    s = s * scale
+    )  # (block_q, block_kv), log2-space scores
 
-    # mask out kv padding in the last block (static check first)
+    # mask out kv padding in the last block (static check first; every
+    # shape in the video UNet is block-aligned so this is normally dead)
     if kv_len % block_kv != 0:
-        @pl.when(j == num_kv - 1)
-        def _mask():
-            pass  # handled below via where; pl.when can't return values
-
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
-        s_masked = jnp.where(col < kv_len, s, -1e30)
-    else:
-        s_masked = s
-    s = s_masked
+        s = jnp.where(col < kv_len, s, -1e30)
 
     m_prev = m_scratch[:]  # (block_q, LANE)
     l_prev = l_scratch[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
     m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)  # (block_q, LANE) — all lanes equal
-    p = jnp.exp(s - m_new[:, :1])  # (block_q, block_kv)
+    alpha = jnp.exp2(m_prev - m_new)  # (block_q, LANE) — all lanes equal
+    p = jnp.exp2(s - m_new[:, :1])  # (block_q, block_kv)
     l_new = alpha * l_prev + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
     )
@@ -150,7 +147,6 @@ def _flash_forward(
     *,
     heads: int,
     kv_repeat: int,
-    scale: float,
     kv_len: int,
     block_q: int,
     block_kv: int,
@@ -171,7 +167,7 @@ def _flash_forward(
         return ((b // fh) * heads + b % heads, j, 0)
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+        _flash_kernel, kv_len=kv_len, block_kv=block_kv
     )
     return pl.pallas_call(
         kernel,
@@ -232,13 +228,16 @@ def flash_attention(
         x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, dp - d)))
         return x.reshape(b * h, n_pad, dp)
 
-    q3 = to3(q, nq_pad)
+    # pre-scale q by scale*log2(e): the kernel softmax runs in log2 space
+    # (fp32 multiply before the cast keeps the rounding at bf16 level)
+    log2e_scale = scale * 1.4426950408889634
+    q3 = to3((q.astype(jnp.float32) * log2e_scale).astype(q.dtype), nq_pad)
     k3 = to3(k, nk_pad)
     v3 = to3(v, nk_pad)
 
     o3 = _flash_forward(
         q3, k3, v3,
-        heads=h, kv_repeat=kv_repeat, scale=scale, kv_len=nk,
+        heads=h, kv_repeat=kv_repeat, kv_len=nk,
         block_q=block_q, block_kv=block_kv, interpret=interpret,
     )
     o = o3.reshape(bq, h, nq_pad, dp)[:, :, :nq, :d]
