@@ -185,8 +185,11 @@ def main() -> int:
         # (batch 8 with CFG doubling = 256 concurrent frame evals exceeds one
         # chip's HBM; batch 4 is the single-chip serving point)
         sb = int(os.environ.get("BENCH_SERVE_BATCH", "4"))
+        chunk = int(os.environ.get(
+            "BENCH_SERVE_CHUNK", "2" if sb >= 8 else "1"))
         fn8 = pipe._sampler(
-            sb, frames, height, width, steps, 0.9, 7.5, True, True, 16,
+            sb, frames, height, width, steps, 0.9, 7.5, True, True, 32,
+            False, chunk,
         )
         text8 = jnp.zeros((2 * sb, 77), jnp.int32)
         cond8 = jnp.zeros((sb, height, width, 3), jnp.float32)
@@ -207,6 +210,9 @@ def main() -> int:
 
     if os.environ.get("BENCH_TRAIN"):
         _bench_train(model_config)
+
+    if os.environ.get("BENCH_LOADER"):
+        _bench_loader()
 
     print(json.dumps({
         "metric": "p50 clip latency, 512px 16-frame 25-step DDIM + CFG + IP-Adapter, bf16, 1 chip",
@@ -289,6 +295,67 @@ def _bench_train(model_config):
     print(
         f"[bench] train step (256px b{b} f{f} remat bf16): {per:.3f}s "
         f"({clips_s:.2f} clips/s/chip)", file=sys.stderr,
+    )
+
+
+def _bench_loader():
+    """Input-pipeline throughput probe (VERDICT r1 #6): synthesize WebVid-style
+    mp4s (long videos so stride sampling lands deep inside), then measure
+    batches/s through WebVidDataset + DataLoader.  Sustaining >= 1 batch per
+    train-step time (0.414 s at 256px b8 f16 on one chip) means the host
+    pipeline doesn't starve the TPU."""
+    import csv
+    import tempfile
+
+    import cv2
+
+    from i2v_adapter_tpu.data.loader import DataLoader
+    from i2v_adapter_tpu.data.webvid import WebVidDataset
+
+    root = tempfile.mkdtemp(prefix="loaderbench_")
+    page = os.path.join(root, "p0")
+    os.makedirs(page)
+    rng = np.random.default_rng(0)
+    rows = []
+    n_videos, n_frames_per_video = 8, 400
+    for vid in range(n_videos):
+        path = os.path.join(page, f"v{vid}.mp4")
+        w = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (320, 320)
+        )
+        frame = (rng.random((320, 320, 3)) * 255).astype(np.uint8)
+        for i in range(n_frames_per_video):
+            if i % 40 == 0:
+                frame = (rng.random((320, 320, 3)) * 255).astype(np.uint8)
+            w.write(frame)
+        w.release()
+        rows.append({"videoid": f"v{vid}", "name": f"clip {vid}",
+                     "page_dir": "p0"})
+    csv_path = os.path.join(root, "train.csv")
+    with open(csv_path, "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=["videoid", "name", "page_dir"])
+        wtr.writeheader()
+        wtr.writerows(rows)
+
+    ds = WebVidDataset(csv_path, root, sample_size=256, sample_stride=4,
+                       sample_n_frames=16, seed=0)
+    batch_size = int(os.environ.get("BENCH_LOADER_BATCH", "8"))
+    loader = DataLoader(ds, batch_size, shuffle=True, num_workers=8, seed=0)
+    # warm one epoch pass of a few batches, then measure
+    it = iter(loader)
+    next(it)
+    t0 = time.time()
+    n = 0
+    for batch in it:
+        n += 1
+        if n >= 6:
+            break
+    dt = (time.time() - t0) / max(n, 1)
+    print(
+        f"[bench] loader: {dt:.3f} s/batch (batch {batch_size}, 256px 16f "
+        f"stride4, seek-decode) = {1 / dt:.2f} batches/s; train step needs "
+        f"1/0.414 = 2.42 batches/s at b2 -> b8 budget 1.656 s/batch",
+        file=sys.stderr,
     )
 
 

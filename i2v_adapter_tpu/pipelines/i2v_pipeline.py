@@ -89,14 +89,14 @@ class I2VAdapterPipeline:
             unet=self.config.unet.replace(freeu=(s1, s2, b1, b2))
         )
         self.unet = VideoUNet(self.config.unet, dtype=self.dtype)
-        self._sampler.cache_clear()
+        self.__dict__.setdefault("_sampler_cache", {}).clear()
 
     def disable_freeu(self) -> None:
         self.config = self.config.replace(
             unet=self.config.unet.replace(freeu=None)
         )
         self.unet = VideoUNet(self.config.unet, dtype=self.dtype)
-        self._sampler.cache_clear()
+        self.__dict__.setdefault("_sampler_cache", {}).clear()
 
     def load_lora_weights(self, path: str, scale: float = 1.0) -> int:
         """Merge a LoRA checkpoint into the UNet params (LoraLoaderMixin
@@ -108,7 +108,7 @@ class I2VAdapterPipeline:
         merged, patched = merge_lora(self.params["unet"]["params"], sd, scale)
         self.params = dict(self.params)
         self.params["unet"] = {"params": merged}
-        self._sampler.cache_clear()
+        self.__dict__.setdefault("_sampler_cache", {}).clear()
         return patched
 
     def load_textual_inversion(self, path: str, token: str) -> None:
@@ -137,7 +137,7 @@ class I2VAdapterPipeline:
         )
         self.text_encoder = CLIPTextEncoder(self.config.text_encoder,
                                             dtype=self.dtype)
-        self._sampler.cache_clear()
+        self.__dict__.setdefault("_sampler_cache", {}).clear()
 
     # ------------------------------------------------------------------
     # loading
@@ -182,6 +182,12 @@ class I2VAdapterPipeline:
         adapter_sd = convert.load_state_dict(adapter_path) if adapter_path else None
         ip_path = ip_adapter_path or find_weights("ip_adapter")
         ip_sd = convert.load_state_dict(ip_path) if ip_path else None
+        if ip_sd is not None and model_config.unet.use_ip_adapter:
+            # auto-detect standard / plus / full_face by checkpoint keys
+            # (reference unet_motion_cross_frame_attn.py:1231-1239)
+            model_config = model_config.replace(
+                unet=model_config.unet.replace(**convert.ip_config_updates(ip_sd))
+            )
 
         params = {
             "unet": {
@@ -225,7 +231,6 @@ class I2VAdapterPipeline:
     # the jitted sampler
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=8)
     def _sampler(
         self,
         batch: int,
@@ -239,9 +244,40 @@ class I2VAdapterPipeline:
         has_condition: bool,
         decode_slice: int,
         vae_tiling: bool = False,
+        unet_chunk: int = 1,
     ):
-        """Build + jit the full clip-generation function for one shape
-        bucket (the 'bucketed jit shapes' serving strategy)."""
+        """Cached, jitted clip-generation function for one shape bucket
+        (the 'bucketed jit shapes' serving strategy).  The cache is an
+        explicit per-instance dict keyed on the bucket tuple — unlike an
+        ``lru_cache`` on a bound method it neither pins ``self`` (and the
+        full param trees) globally nor couples eviction across instances."""
+        key = (
+            batch, num_frames, height, width, num_inference_steps, strength,
+            guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
+            unet_chunk,
+        )
+        # setdefault-style lazy init so partially-constructed pipelines
+        # (e.g. bench.py's __new__ path) work too
+        cache = self.__dict__.setdefault("_sampler_cache", {})
+        if key not in cache:
+            cache[key] = self._build_sampler(*key)
+        return cache[key]
+
+    def _build_sampler(
+        self,
+        batch: int,
+        num_frames: int,
+        height: int,
+        width: int,
+        num_inference_steps: int,
+        strength: float,
+        guidance_scale: float,
+        use_cfg: bool,
+        has_condition: bool,
+        decode_slice: int,
+        vae_tiling: bool = False,
+        unet_chunk: int = 1,
+    ):
         cfg = self.config
         schedule = self.schedule
         scale = cfg.vae.scaling_factor
@@ -261,12 +297,26 @@ class I2VAdapterPipeline:
             text_states = self.text_encoder.apply(params["text_encoder"], text_ids)
 
             if cfg.unet.use_ip_adapter:
-                image_embeds = self.image_encoder.apply(
-                    params["image_encoder"], clip_image
-                )
+                if cfg.unet.ip_variant == "standard":
+                    image_embeds = self.image_encoder.apply(
+                        params["image_encoder"], clip_image
+                    )
+                    uncond_embeds = jnp.zeros_like(image_embeds)
+                else:
+                    # plus/full_face consume penultimate hidden states; the
+                    # uncond branch encodes a zero image (reference
+                    # encode_image, pipeline_i2v_adapter.py:330-338)
+                    _, image_embeds = self.image_encoder.apply(
+                        params["image_encoder"], clip_image,
+                        output_hidden_state=True,
+                    )
+                    _, uncond_embeds = self.image_encoder.apply(
+                        params["image_encoder"], jnp.zeros_like(clip_image),
+                        output_hidden_state=True,
+                    )
                 if use_cfg:
                     image_embeds = jnp.concatenate(
-                        [jnp.zeros_like(image_embeds), image_embeds], axis=0
+                        [uncond_embeds, image_embeds], axis=0
                     )
             else:
                 image_embeds = None
@@ -333,6 +383,38 @@ class I2VAdapterPipeline:
                         enable_cross_frame_attn=has_condition,
                     ).astype(jnp.float32)
 
+                def chunked_unet_call(x):
+                    # UNet forward chunking (the reference's
+                    # enable_forward_chunking analogue, unet_motion_cross_
+                    # frame_attn.py:1163-1191): lax.map the UNet over clip
+                    # sub-batches so peak activation memory scales with the
+                    # chunk, not the whole serving batch.
+                    bsz = x.shape[0]
+                    if unet_chunk <= 1 or bsz % unet_chunk != 0:
+                        return unet_call(x)
+                    per = bsz // unet_chunk
+
+                    def one(args):
+                        xc, tsc, iec = args
+                        return self.unet.apply(
+                            params["unet"],
+                            xc.astype(self.dtype),
+                            jnp.full((xc.shape[0],), t),
+                            tsc,
+                            iec,
+                            enable_cross_frame_attn=has_condition,
+                        ).astype(jnp.float32)
+
+                    chunk = lambda a: (
+                        None if a is None
+                        else a.reshape((unet_chunk, per) + a.shape[1:])
+                    )
+                    out = jax.lax.map(
+                        one,
+                        (chunk(x), chunk(text_states), chunk(image_embeds)),
+                    )
+                    return out.reshape((bsz,) + out.shape[2:])
+
                 if use_tiling:
                     from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
 
@@ -349,7 +431,7 @@ class I2VAdapterPipeline:
                         stride=stride,
                     )
                 else:
-                    noise_pred = unet_call(model_in)
+                    noise_pred = chunked_unet_call(model_in)
                 if use_cfg:
                     uncond, text = jnp.split(noise_pred, 2, axis=0)
                     noise_pred = uncond + guidance_scale * (text - uncond)
@@ -419,6 +501,7 @@ class I2VAdapterPipeline:
         output_type: str = "np",
         decode_slice: int = 0,
         vae_tiling: bool = False,
+        unet_chunk: int = 0,
     ):
         """Generate clips. Returns (B, F, H, W, 3) uint8 (output_type='np')
         or float32 in [-1, 1] ('latent' returns raw latents)."""
@@ -480,10 +563,20 @@ class I2VAdapterPipeline:
             s = self.config.image_encoder.image_size
             clip_img = np.zeros((batch, s, s, 3), dtype=np.float32)
 
+        # memory auto-defaults for large serving batches (BASELINE config 3):
+        # chunk the UNet forward and slice the VAE decode once the number of
+        # concurrent frame evaluations exceeds one chip's comfortable HBM
+        # footprint at 512px (batch 8 CFG-doubled = 256 evals OOMs 16 GB).
+        evals = batch * num_frames * (2 if use_cfg else 1)
+        if unet_chunk == 0:
+            unet_chunk = 2 if evals >= 256 else 1
+        if decode_slice == 0 and batch * num_frames > 64:
+            decode_slice = 32
+
         fn = self._sampler(
             batch, num_frames, height, width, steps, float(strength),
             float(guidance), use_cfg, has_condition, decode_slice,
-            vae_tiling,
+            vae_tiling, unet_chunk,
         )
         video = fn(
             self.params,
