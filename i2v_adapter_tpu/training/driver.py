@@ -248,7 +248,17 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
                 tc.train_batch_size, n_dev,
             )
         mesh = None
-    step_fn = make_train_step(model_config, tc, tx, mesh=mesh)
+    state_shardings = None
+    if mesh is not None:
+        # materialize the ZeRO-style placement: large params/opt-state leaves
+        # sharded over the fsdp axis, the rest replicated
+        from i2v_adapter_tpu.parallel.mesh import train_state_shardings
+
+        state_shardings = train_state_shardings(state, mesh)
+        state = jax.device_put(state, state_shardings)
+    step_fn = make_train_step(
+        model_config, tc, tx, mesh=mesh, state_shardings=state_shardings
+    )
 
     n_train = sum(x.size for x in jax.tree.leaves(state.trainable))
     n_total = n_train + sum(x.size for x in jax.tree.leaves(state.frozen))
@@ -312,9 +322,14 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         is_ckpt_epoch = (epoch + 1) % tc.checkpoint_epoch == 0
         if is_ckpt_epoch and jax.process_index() == 0:
             out = os.path.join(task_dir, f"epoch_{epoch + 1}")
-            unet_np = {
-                "params": jax.tree.map(np.asarray, state.unet_params["params"])
-            }
+            # With --use_ema the checkpoint that downstream consumers load is
+            # the EMA average (the reference's ema_unet.copy_to-before-save,
+            # train_text_to_image.py:887-889); the live weights go to a
+            # non_ema/ sibling so training can be continued from them.
+            export_tree = (
+                state.ema_unet_params if tc.use_ema else state.unet_params
+            )
+            unet_np = {"params": jax.tree.map(np.asarray, export_tree["params"])}
             if tc.train_mode == "t2i":
                 # full-UNet finetune: export the whole UNet
                 ckpt.export_pipeline({"unet": unet_np}, model_config, out, tc)
@@ -323,6 +338,14 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
                     unet_np, model_config.unet, out,
                     save_motion=tc.update_motion_modules,
                 )
+                if tc.use_ema:
+                    raw_np = {"params": jax.tree.map(
+                        np.asarray, state.unet_params["params"])}
+                    ckpt.save_adapter_checkpoint(
+                        raw_np, model_config.unet,
+                        os.path.join(out, "non_ema"),
+                        save_motion=tc.update_motion_modules,
+                    )
             logger.info("saved checkpoint: %s", out)
 
         if (
@@ -336,11 +359,13 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         if tc.max_train_steps and global_step >= tc.max_train_steps:
             break
 
-    # final whole-pipeline export (reference :942-963)
+    # final whole-pipeline export (reference :942-963); EMA weights when
+    # --use_ema (reference train_text_to_image.py:887-889)
     if jax.process_index() == 0:
+        final_tree = state.ema_unet_params if tc.use_ema else state.unet_params
         final_params = dict(pipe.params)
         final_params["unet"] = {
-            "params": jax.tree.map(np.asarray, state.unet_params["params"])
+            "params": jax.tree.map(np.asarray, final_tree["params"])
         }
         ckpt.export_pipeline(
             final_params, model_config,
@@ -359,7 +384,9 @@ def _run_validation(args, pipe, state, model_config, task_dir, epoch):
     with open(args.eval_csv_path, newline="") as f:
         rows = list(csv_mod.DictReader(f))[:4]
     pipe.params = dict(pipe.params)
-    pipe.params["unet"] = state.unet_params
+    # sample with the EMA weights when they exist (reference swaps EMA in for
+    # validation, train_text_to_image.py:566-596)
+    pipe.params["unet"] = state.ema_unet_params
     out_dir = os.path.join(task_dir, f"samples_epoch_{epoch + 1}")
     os.makedirs(out_dir, exist_ok=True)
     for i, row in enumerate(rows):

@@ -124,6 +124,15 @@ class TrainState(flax.struct.PyTreeNode):
     def unet_params(self) -> dict:
         return {"params": merge_params(self.trainable, self.frozen)}
 
+    @property
+    def ema_unet_params(self) -> dict:
+        """EMA-averaged UNet params (falls back to the live weights when EMA
+        is disabled) — what validation sampling and final export consume,
+        matching the reference's ema_unet.store/copy_to swap
+        (/root/reference/src/train_text_to_image.py:566-596,887-889)."""
+        src = self.ema if self.ema is not None else self.trainable
+        return {"params": merge_params(src, self.frozen)}
+
 
 def create_train_state(
     unet_params: dict,

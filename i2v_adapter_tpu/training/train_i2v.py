@@ -45,12 +45,41 @@ from i2v_adapter_tpu.training.state import TrainState, ema_update, merge_params
 _DTYPES = {"none": jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def diffusion_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    schedule,
+    snr_gamma: Optional[float],
+    exclude_first_frame: bool,
+) -> jnp.ndarray:
+    """Training loss on (B, F, ...) predictions: masked MSE excluding frame 0
+    (reference train_image_to_video.py:848-856) or the SNR-γ-weighted variant
+    (:858-872).  Exposed at module level so the masking semantics are
+    directly testable against the production path."""
+    se = (pred - target) ** 2
+    if snr_gamma is None:
+        if not exclude_first_frame:
+            return jnp.mean(se)
+        mask = jnp.ones_like(se).at[:, 0].set(0.0)
+        return jnp.sum(se * mask) / jnp.sum(mask)
+    # the reference's SNR-γ branch does NOT mask frame 0 (plain mean over
+    # all dims, train_image_to_video.py:870-872) — matched exactly
+    snr = compute_snr(schedule, timesteps)
+    if schedule.prediction_type == "v_prediction":
+        snr = snr + 1.0
+    weights = jnp.minimum(snr, snr_gamma) / snr
+    per_video = jnp.mean(se, axis=tuple(range(1, se.ndim)))
+    return jnp.mean(per_video * weights)
+
+
 def make_train_step(
     model_config: I2VModelConfig,
     train_config: TrainConfig,
     tx,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    state_shardings=None,
 ):
     """Build the jitted train step.
 
@@ -60,7 +89,11 @@ def make_train_step(
       text_ids:     (B, L) int32 (prompt tokens)
       uncond_ids:   (B, L) int32 (empty-prompt tokens, for CFG dropout)
       clip_image:   (B, S, S, 3) CLIP-preprocessed first frame
-    """
+
+    ``state_shardings`` (a TrainState-shaped tree of NamedShardings from
+    ``parallel.mesh.train_state_shardings``) pins the state's in/out
+    shardings so fsdp-sharded params/optimizer state stay sharded across
+    steps — the applied ZeRO analogue."""
     dtype = _DTYPES[train_config.mixed_precision]
     ucfg = model_config.unet.replace(remat=train_config.gradient_checkpointing)
     unet = VideoUNet(ucfg, dtype=dtype)
@@ -108,11 +141,20 @@ def make_train_step(
         text_states = text_encoder.apply(state.text_encoder, ids)
 
         if image_encoder is not None:
-            image_embeds = image_encoder.apply(
-                state.image_encoder, batch["clip_image"].astype(dtype)
-            )
+            if model_config.unet.ip_variant == "standard":
+                image_embeds = image_encoder.apply(
+                    state.image_encoder, batch["clip_image"].astype(dtype)
+                )
+                drop_b = drop_image[:, None]
+            else:
+                # plus/full_face heads consume penultimate hidden states
+                _, image_embeds = image_encoder.apply(
+                    state.image_encoder, batch["clip_image"].astype(dtype),
+                    output_hidden_state=True,
+                )
+                drop_b = drop_image[:, None, None]
             image_embeds = jnp.where(
-                drop_image[:, None], jnp.zeros_like(image_embeds), image_embeds
+                drop_b, jnp.zeros_like(image_embeds), image_embeds
             )
         else:
             image_embeds = None
@@ -164,21 +206,10 @@ def make_train_step(
         ).astype(jnp.float32)
 
         # ---- loss (masked MSE / SNR-gamma), frame 0 excluded for i2v ----
-        se = (pred - target) ** 2
-        if tc.snr_gamma is None:
-            if is_t2i:
-                loss = jnp.mean(se)
-            else:
-                mask = jnp.ones_like(se).at[:, 0].set(0.0)
-                loss = jnp.sum(se * mask) / jnp.sum(mask)
-        else:
-            snr = compute_snr(schedule, timesteps)
-            if schedule.prediction_type == "v_prediction":
-                snr = snr + 1.0
-            weights = jnp.minimum(snr, tc.snr_gamma) / snr
-            per_video = jnp.mean(se, axis=tuple(range(1, se.ndim)))
-            loss = jnp.mean(per_video * weights)
-        return loss
+        return diffusion_loss(
+            pred, target, timesteps, schedule, tc.snr_gamma,
+            exclude_first_frame=not is_t2i,
+        )
 
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -219,19 +250,23 @@ def make_train_step(
     if mesh is None:
         return jax.jit(train_step, donate_argnums=donate_argnums)
 
-    # ---- data-parallel pjit: batch sharded on (data, fsdp), state
-    # replicated (params) / fsdp-sharded where profitable ----
+    # ---- data-parallel pjit: batch sharded on (data, fsdp), params/opt
+    # state fsdp-sharded when state_shardings is given (ZeRO analogue),
+    # else replicated/resolved from current placement ----
     batch_spec = P((DATA_AXIS, FSDP_AXIS))
-    in_shardings = (
-        None,  # state sharding resolved by jit from its current placement
-        jax.tree.map(
-            lambda _: NamedSharding(mesh, batch_spec),
-            {"pixel_values": 0, "text_ids": 0, "uncond_ids": 0, "clip_image": 0},
-        ),
-        NamedSharding(mesh, P()),
+    batch_shardings = jax.tree.map(
+        lambda _: NamedSharding(mesh, batch_spec),
+        {"pixel_values": 0, "text_ids": 0, "uncond_ids": 0, "clip_image": 0},
+    )
+    in_shardings = (state_shardings, batch_shardings, NamedSharding(mesh, P()))
+    out_shardings = (
+        (state_shardings, NamedSharding(mesh, P()))
+        if state_shardings is not None
+        else None
     )
     return jax.jit(
-        train_step, in_shardings=in_shardings, donate_argnums=donate_argnums
+        train_step, in_shardings=in_shardings, out_shardings=out_shardings,
+        donate_argnums=donate_argnums,
     )
 
 

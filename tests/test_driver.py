@@ -90,6 +90,46 @@ def test_i2v_driver_resumes_from_epoch(env):
     assert result["global_step"] >= 3  # resumed past epoch 1
 
 
+def test_ema_checkpoint_exports_ema_tree(env):
+    """With --use_ema the epoch adapter checkpoint holds the EMA average
+    (not the raw weights), and the raw tree lands in non_ema/ (VERDICT r1 #3;
+    reference train_text_to_image.py:566-596,887-889)."""
+    from safetensors.numpy import load_file
+
+    cfg = tiny_test_config()
+    args = _args(env, task_name="ema_task", use_ema=True,
+                 learning_rate=1e-2)
+    train(args, model_config=cfg)
+    epoch_dir = os.path.join(env["root"], "checkpoint", "ema_task", "epoch_1")
+    ema_sd = load_file(os.path.join(
+        epoch_dir, "i2v_adapter", "diffusion_pytorch_model.safetensors"))
+    raw_sd = load_file(os.path.join(
+        epoch_dir, "non_ema", "i2v_adapter",
+        "diffusion_pytorch_model.safetensors"))
+    assert set(ema_sd) == set(raw_sd)
+    # after 2 steps at decay<1 the EMA average must differ from the live
+    # weights on the trained projections
+    diffs = [
+        float(np.abs(ema_sd[k] - raw_sd[k]).max())
+        for k in ema_sd
+        if "to_q" in k or "to_out" in k
+    ]
+    assert max(diffs) > 0.0
+    # and the final pipeline export equals the EMA tree, not the raw one
+    pipe_sd = load_file(os.path.join(
+        env["root"], "checkpoint", "ema_task", "pipeline", "unet",
+        "flax_model.safetensors"))
+    ema_leaf = next(k for k in ema_sd if "to_q" in k)
+    flax_matches = [
+        v for k, v in pipe_sd.items()
+        if "i2v_adapter" in k and "to_q" in k
+        and v.shape == ema_sd[ema_leaf].T.shape
+    ]
+    assert any(
+        np.allclose(v, ema_sd[ema_leaf].T, atol=1e-6) for v in flax_matches
+    )
+
+
 def test_t2i_driver_end_to_end(env):
     cfg = tiny_test_config()
     args = _args(env, task_name="t2i_task", train_mode="t2i")

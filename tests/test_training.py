@@ -112,19 +112,41 @@ def test_train_step_updates_only_trainable(all_params):
     assert int(state2.step) == 1
 
 
-def test_loss_excludes_first_frame(all_params):
-    """With zero-init adapter the loss must not depend on the first frame's
-    content: identical batches differing only in frame 0 give the same
-    target/noising for frames 1..F-1 and frame 0 is masked out of the loss.
-    We validate the masking arithmetic directly instead: loss equals MSE
-    over frames 1..F-1 only."""
-    # direct arithmetic check of the mask normalization
-    se = np.ones((2, 4, 3, 3, 4), np.float32) * 2.0
-    se[:, 0] = 99.0
-    mask = np.ones_like(se)
-    mask[:, 0] = 0
-    loss = (se * mask).sum() / mask.sum()
-    assert loss == pytest.approx(2.0)
+def test_loss_excludes_first_frame():
+    """The production loss (train_i2v.diffusion_loss — the exact function the
+    train step calls) must be invariant to frame-0 prediction error: perturb
+    pred[:, 0] and assert the loss doesn't move."""
+    from i2v_adapter_tpu.schedulers import make_schedule
+    from i2v_adapter_tpu.training.train_i2v import diffusion_loss
+
+    schedule = make_schedule(MC.scheduler)
+    r = np.random.default_rng(0)
+    pred = jnp.asarray(r.standard_normal((2, 4, 3, 3, 4)), jnp.float32)
+    target = jnp.asarray(r.standard_normal((2, 4, 3, 3, 4)), jnp.float32)
+    t = jnp.asarray([5, 9])
+    base = diffusion_loss(pred, target, t, schedule, None, True)
+    perturbed = diffusion_loss(
+        pred.at[:, 0].add(100.0), target, t, schedule, None, True
+    )
+    assert float(base) == pytest.approx(float(perturbed))
+    # ... and perturbing a non-first frame must move it
+    moved = diffusion_loss(
+        pred.at[:, 1].add(100.0), target, t, schedule, None, True
+    )
+    assert abs(float(moved) - float(base)) > 1.0
+    # normalization: constant error of 2.0 on frames 1..F-1 -> loss 4.0
+    ones = jnp.ones((2, 4, 3, 3, 4), jnp.float32)
+    assert float(
+        diffusion_loss(2 * ones, jnp.zeros_like(ones), t, schedule, None, True)
+    ) == pytest.approx(4.0)
+    # t2i mode (no exclusion) averages everything
+    assert float(
+        diffusion_loss(2 * ones, jnp.zeros_like(ones), t, schedule, None, False)
+    ) == pytest.approx(4.0)
+    # SNR branch matches the reference: NO frame-0 masking (plain mean)
+    snr_base = diffusion_loss(pred, target, t, schedule, 5.0, True)
+    snr_pert = diffusion_loss(pred.at[:, 0].add(1.0), target, t, schedule, 5.0, True)
+    assert abs(float(snr_pert) - float(snr_base)) > 0.0
 
 
 def test_train_step_on_cpu_mesh(all_params):
@@ -144,7 +166,9 @@ def test_train_step_on_cpu_mesh(all_params):
         unet_params, tc, 10, vae_params, text_params, img_params
     )
     tx = make_optimizer(tc, 10)
-    step_fn = make_train_step(MC, tc, tx, mesh=mesh, donate=False)
+
+    # baseline: same step single-device (replicated, no mesh)
+    ref_step = make_train_step(MC, tc, tx, donate=False)
     r = np.random.default_rng(0)
     batch = {
         "pixel_values": r.standard_normal((8, F, RES, RES, 3)).astype(np.float32),
@@ -152,14 +176,45 @@ def test_train_step_on_cpu_mesh(all_params):
         "uncond_ids": np.zeros((8, 8), np.int32),
         "clip_image": r.standard_normal((8, IMG, IMG, 3)).astype(np.float32),
     }
+    ref_state, ref_metrics = ref_step(state, batch, jax.random.PRNGKey(0))
+
+    # fsdp-sharded state: large leaves actually split over the fsdp axis
+    from i2v_adapter_tpu.parallel.mesh import train_state_shardings
+
+    shardings = train_state_shardings(state, mesh, min_size=1024)
+    sharded_state = jax.device_put(state, shardings)
+    split = [
+        p for p in jax.tree.leaves(sharded_state.frozen)
+        if p.addressable_shards[0].data.shape != p.shape
+    ]
+    assert split, "fsdp axis sharded nothing"
+
+    step_fn = make_train_step(
+        MC, tc, tx, mesh=mesh, donate=False, state_shardings=shardings
+    )
     with mesh:
-        batch = {
+        dbatch = {
             k: jax.device_put(v, batch_sharding(mesh, v.ndim))
             for k, v in batch.items()
         }
-        state2, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+        state2, metrics = step_fn(sharded_state, dbatch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert state2.ema is not None
+    # sharded step must agree with the replicated step
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.tree.map(np.asarray, state2.trainable), ref_state.trainable,
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4
+    # the updated state keeps its fsdp sharding (out_shardings pinned)
+    still_split = [
+        p for p in jax.tree.leaves(state2.frozen)
+        if p.addressable_shards[0].data.shape != p.shape
+    ]
+    assert still_split
 
 
 def test_grad_accumulation_multisteps(all_params):
