@@ -99,8 +99,20 @@ class VideoUNetConfig(_ConfigBase):
     # IP-Adapter image-conditioning branch (extra K/V at text cross-attn
     # sites plus an image-projection head), reference :1230-1287.
     use_ip_adapter: bool = True
+    # IP-Adapter projection-head variant, auto-detected from checkpoint keys
+    # like the reference (:1231-1239): 'standard' = 4-token linear head fed
+    # by the projected image embedding; 'plus' = perceiver resampler over the
+    # penultimate vision hidden states; 'full_face' = tokenwise MLP over the
+    # penultimate hidden states (257 tokens).
+    ip_variant: str = "standard"
     ip_num_tokens: int = 4
     image_embed_dim: int = 1024
+    # penultimate vision hidden size consumed by plus/full_face heads
+    ip_hidden_dim: int = 1280
+    # resampler hyperparameters (IP-Adapter Plus)
+    ip_resampler_dim: int = 768
+    ip_resampler_depth: int = 4
+    ip_resampler_heads: int = 12
     ip_scale: float = 1.0
     # FreeU skip re-weighting (s1, s2, b1, b2); None = off (ops/freeu.py).
     freeu: Optional[Tuple[float, float, float, float]] = None
@@ -119,6 +131,8 @@ class VideoUNetConfig(_ConfigBase):
                 "up_block_has_attention must match block_out_channels: "
                 f"{self.up_block_has_attention} vs {self.block_out_channels}"
             )
+        if self.ip_variant not in ("standard", "plus", "full_face"):
+            raise ValueError(f"unknown ip_variant: {self.ip_variant}")
 
     @property
     def num_blocks(self) -> int:

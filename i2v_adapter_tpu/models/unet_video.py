@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from i2v_adapter_tpu.config import VideoUNetConfig
@@ -55,6 +56,106 @@ class ImageProjection(nn.Module):
         )(image_embeds)
         x = x.reshape(b, self.num_tokens, self.cross_attention_dim)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class PerceiverAttention(nn.Module):
+    """One IP-Adapter-Plus resampler attention layer: latents query the
+    concatenation of image features and latents (the original ip_adapter
+    ``PerceiverAttention`` math the reference loads through diffusers'
+    converter, unet_motion_cross_frame_attn.py:1283-1287)."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
+        dim = latents.shape[-1]
+        d = dim // self.heads
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        latents = nn.LayerNorm(dtype=self.dtype, name="norm2")(latents)
+        q = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_q")(latents)
+        kv_in = jnp.concatenate([x, latents], axis=-2)
+        kv = nn.Dense(2 * dim, use_bias=False, dtype=self.dtype, name="to_kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+        b, m, _ = q.shape
+        n = k.shape[1]
+        qh = q.reshape(b, m, self.heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, n, self.heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, n, self.heads, d).transpose(0, 2, 1, 3)
+        scores = jnp.einsum(
+            "bhmd,bhnd->bhmn", qh, kh, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(d).astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhmn,bhnd->bhmd", probs, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, m, dim)
+        return nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+
+class IPAdapterPlusResampler(nn.Module):
+    """IP-Adapter Plus projection head: learned query latents resampled
+    against the penultimate CLIP-vision hidden states through ``depth``
+    perceiver layers (detected by the reference via the ``latents`` key,
+    unet_motion_cross_frame_attn.py:1235-1239)."""
+
+    num_queries: int
+    dim: int
+    depth: int
+    heads: int
+    cross_attention_dim: int
+    ff_mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
+        b = hidden_states.shape[0]
+        latents = self.param(
+            "latents", nn.initializers.normal(1.0), (self.num_queries, self.dim)
+        )
+        lat = jnp.broadcast_to(
+            latents.astype(self.dtype)[None], (b, self.num_queries, self.dim)
+        )
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(
+            hidden_states.astype(self.dtype)
+        )
+        for i in range(self.depth):
+            lat = PerceiverAttention(
+                heads=self.heads, dtype=self.dtype, name=f"layers_{i}_attn"
+            )(x, lat) + lat
+            # FeedForward: LayerNorm -> Linear(4x, no bias) -> GELU -> Linear
+            h = nn.LayerNorm(dtype=self.dtype, name=f"layers_{i}_ff_norm")(lat)
+            h = nn.Dense(
+                self.dim * self.ff_mult, use_bias=False, dtype=self.dtype,
+                name=f"layers_{i}_ff_in",
+            )(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(
+                self.dim, use_bias=False, dtype=self.dtype,
+                name=f"layers_{i}_ff_out",
+            )(h)
+            lat = lat + h
+        lat = nn.Dense(
+            self.cross_attention_dim, dtype=self.dtype, name="proj_out"
+        )(lat)
+        return nn.LayerNorm(dtype=self.dtype, name="norm_out")(lat)
+
+
+class IPAdapterFullFaceProjection(nn.Module):
+    """IP-Adapter full-face head: tokenwise MLP over the 257 penultimate
+    hidden-state tokens (Linear -> GELU -> Linear -> LayerNorm; detected by
+    the reference via ``proj.3.weight``, :1233-1235)."""
+
+    cross_attention_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
+        in_dim = hidden_states.shape[-1]
+        x = nn.Dense(in_dim, dtype=self.dtype, name="proj_0")(
+            hidden_states.astype(self.dtype)
+        )
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.cross_attention_dim, dtype=self.dtype, name="proj_2")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="proj_3")(x)
 
 
 class DownBlock(nn.Module):
@@ -285,15 +386,33 @@ class VideoUNet(nn.Module):
         )(t_emb.astype(self.dtype))
         emb = jnp.repeat(emb, f, axis=0)  # (B*F, time_embed_dim)
 
-        # 2. IP-Adapter image tokens appended to text tokens.
+        # 2. IP-Adapter image tokens appended to text tokens.  The head is
+        # selected by the detected checkpoint variant (reference :1231-1239):
+        # 'standard' consumes the projected embedding (B, D); 'plus' and
+        # 'full_face' consume penultimate hidden states (B, N, D_hidden).
         if cfg.use_ip_adapter:
             if image_embeds is None:
                 raise ValueError("image_embeds required when use_ip_adapter")
-            image_tokens = ImageProjection(
-                num_tokens=cfg.ip_num_tokens,
-                cross_attention_dim=cfg.cross_attention_dim,
-                dtype=self.dtype, name="encoder_hid_proj",
-            )(image_embeds.astype(self.dtype))
+            if cfg.ip_variant == "plus":
+                image_tokens = IPAdapterPlusResampler(
+                    num_queries=cfg.ip_num_tokens,
+                    dim=cfg.ip_resampler_dim,
+                    depth=cfg.ip_resampler_depth,
+                    heads=cfg.ip_resampler_heads,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    dtype=self.dtype, name="encoder_hid_proj",
+                )(image_embeds.astype(self.dtype))
+            elif cfg.ip_variant == "full_face":
+                image_tokens = IPAdapterFullFaceProjection(
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    dtype=self.dtype, name="encoder_hid_proj",
+                )(image_embeds.astype(self.dtype))
+            else:
+                image_tokens = ImageProjection(
+                    num_tokens=cfg.ip_num_tokens,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    dtype=self.dtype, name="encoder_hid_proj",
+                )(image_embeds.astype(self.dtype))
             encoder_hidden_states = jnp.concatenate(
                 [encoder_hidden_states.astype(self.dtype), image_tokens], axis=1
             )

@@ -238,6 +238,86 @@ def _ip_site_order(config: VideoUNetConfig):
     return sites
 
 
+def detect_ip_adapter_variant(ip_adapter_sd: Mapping) -> tuple:
+    """Detect the IP-Adapter projection-head variant from checkpoint keys —
+    the reference's auto-detection logic
+    (/root/reference/src/models/unet_motion_cross_frame_attn.py:1231-1239).
+
+    Returns (variant, num_image_tokens)."""
+    proj = ip_adapter_sd["image_proj"]
+    if "proj.weight" in proj:
+        return "standard", 4
+    if "proj.3.weight" in proj:
+        return "full_face", 257  # 256 CLIP patch tokens + 1 CLS
+    return "plus", int(np.asarray(proj["latents"]).shape[1])
+
+
+def ip_config_updates(ip_adapter_sd: Mapping) -> dict:
+    """VideoUNetConfig field overrides derived from an IP-Adapter state
+    dict: variant, token count and (for Plus) resampler geometry."""
+    variant, num_tokens = detect_ip_adapter_variant(ip_adapter_sd)
+    upd = {"ip_variant": variant, "ip_num_tokens": num_tokens}
+    proj = ip_adapter_sd["image_proj"]
+    if variant == "plus":
+        lat = np.asarray(proj["latents"])
+        upd["ip_resampler_dim"] = int(lat.shape[-1])
+        upd["ip_resampler_depth"] = len(
+            {k.split(".")[1] for k in proj if k.startswith("layers.")}
+        )
+        upd["ip_hidden_dim"] = int(np.asarray(proj["proj_in.weight"]).shape[1])
+    elif variant == "full_face":
+        upd["ip_hidden_dim"] = int(np.asarray(proj["proj.0.weight"]).shape[1])
+    return upd
+
+
+def _convert_ip_image_proj(proj: Mapping, variant: str, out: Flat) -> None:
+    """Write the image-projection head params for the detected variant
+    (torch key layouts are the original ip_adapter module structures the
+    reference feeds through diffusers' converter, :1283-1287)."""
+    pre = "encoder_hid_proj"
+    if variant == "standard":
+        out[f"{pre}/proj/kernel"] = np.asarray(proj["proj.weight"]).T
+        out[f"{pre}/proj/bias"] = np.asarray(proj["proj.bias"])
+        out[f"{pre}/norm/scale"] = np.asarray(proj["norm.weight"])
+        out[f"{pre}/norm/bias"] = np.asarray(proj["norm.bias"])
+        return
+    if variant == "full_face":
+        # nn.Sequential(Linear, GELU, Linear, LayerNorm) under 'proj.'
+        out[f"{pre}/proj_0/kernel"] = np.asarray(proj["proj.0.weight"]).T
+        out[f"{pre}/proj_0/bias"] = np.asarray(proj["proj.0.bias"])
+        out[f"{pre}/proj_2/kernel"] = np.asarray(proj["proj.2.weight"]).T
+        out[f"{pre}/proj_2/bias"] = np.asarray(proj["proj.2.bias"])
+        out[f"{pre}/proj_3/scale"] = np.asarray(proj["proj.3.weight"])
+        out[f"{pre}/proj_3/bias"] = np.asarray(proj["proj.3.bias"])
+        return
+    # plus: perceiver resampler
+    out[f"{pre}/latents"] = np.asarray(proj["latents"])[0]
+    out[f"{pre}/proj_in/kernel"] = np.asarray(proj["proj_in.weight"]).T
+    out[f"{pre}/proj_in/bias"] = np.asarray(proj["proj_in.bias"])
+    out[f"{pre}/proj_out/kernel"] = np.asarray(proj["proj_out.weight"]).T
+    out[f"{pre}/proj_out/bias"] = np.asarray(proj["proj_out.bias"])
+    out[f"{pre}/norm_out/scale"] = np.asarray(proj["norm_out.weight"])
+    out[f"{pre}/norm_out/bias"] = np.asarray(proj["norm_out.bias"])
+    depth = len({k.split(".")[1] for k in proj if k.startswith("layers.")})
+    for i in range(depth):
+        attn = f"{pre}/layers_{i}_attn"
+        out[f"{attn}/norm1/scale"] = np.asarray(proj[f"layers.{i}.0.norm1.weight"])
+        out[f"{attn}/norm1/bias"] = np.asarray(proj[f"layers.{i}.0.norm1.bias"])
+        out[f"{attn}/norm2/scale"] = np.asarray(proj[f"layers.{i}.0.norm2.weight"])
+        out[f"{attn}/norm2/bias"] = np.asarray(proj[f"layers.{i}.0.norm2.bias"])
+        out[f"{attn}/to_q/kernel"] = np.asarray(proj[f"layers.{i}.0.to_q.weight"]).T
+        out[f"{attn}/to_kv/kernel"] = np.asarray(proj[f"layers.{i}.0.to_kv.weight"]).T
+        out[f"{attn}/to_out/kernel"] = np.asarray(proj[f"layers.{i}.0.to_out.weight"]).T
+        out[f"{pre}/layers_{i}_ff_norm/scale"] = np.asarray(
+            proj[f"layers.{i}.1.0.weight"])
+        out[f"{pre}/layers_{i}_ff_norm/bias"] = np.asarray(
+            proj[f"layers.{i}.1.0.bias"])
+        out[f"{pre}/layers_{i}_ff_in/kernel"] = np.asarray(
+            proj[f"layers.{i}.1.1.weight"]).T
+        out[f"{pre}/layers_{i}_ff_out/kernel"] = np.asarray(
+            proj[f"layers.{i}.1.3.weight"]).T
+
+
 def convert_unet(
     unet_sd: Flat,
     config: VideoUNetConfig,
@@ -334,11 +414,9 @@ def convert_unet(
 
     # IP-Adapter: image projection head + per-attn2-site K/V.
     if use_ip and ip_adapter_sd is not None:
-        image_proj = ip_adapter_sd["image_proj"]
-        out["encoder_hid_proj/proj/kernel"] = np.asarray(image_proj["proj.weight"]).T
-        out["encoder_hid_proj/proj/bias"] = np.asarray(image_proj["proj.bias"])
-        out["encoder_hid_proj/norm/scale"] = np.asarray(image_proj["norm.weight"])
-        out["encoder_hid_proj/norm/bias"] = np.asarray(image_proj["norm.bias"])
+        _convert_ip_image_proj(
+            ip_adapter_sd["image_proj"], config.ip_variant, out
+        )
         ip_sd = ip_adapter_sd["ip_adapter"]
         key_id = 1
         for site in _ip_site_order(config):

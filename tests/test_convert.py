@@ -195,6 +195,101 @@ def test_zero_init_adapter_values(rng):
     assert np.all(flat[f"{site}/i2v_adapter/to_out/kernel"] == 0)
 
 
+def _plus_image_proj(rng, dim=16, hidden=24, n_q=4, depth=2, d_txt=None):
+    """Original ip_adapter Resampler state-dict layout (IP-Adapter Plus)."""
+    d_txt = d_txt or CFG.unet.cross_attention_dim
+    f32 = lambda *s: rng.standard_normal(s).astype(np.float32)
+    proj = {
+        "latents": f32(1, n_q, dim),
+        "proj_in.weight": f32(dim, hidden), "proj_in.bias": f32(dim),
+        "proj_out.weight": f32(d_txt, dim), "proj_out.bias": f32(d_txt),
+        "norm_out.weight": f32(d_txt), "norm_out.bias": f32(d_txt),
+    }
+    for i in range(depth):
+        proj[f"layers.{i}.0.norm1.weight"] = f32(dim)
+        proj[f"layers.{i}.0.norm1.bias"] = f32(dim)
+        proj[f"layers.{i}.0.norm2.weight"] = f32(dim)
+        proj[f"layers.{i}.0.norm2.bias"] = f32(dim)
+        proj[f"layers.{i}.0.to_q.weight"] = f32(dim, dim)
+        proj[f"layers.{i}.0.to_kv.weight"] = f32(2 * dim, dim)
+        proj[f"layers.{i}.0.to_out.weight"] = f32(dim, dim)
+        proj[f"layers.{i}.1.0.weight"] = f32(dim)
+        proj[f"layers.{i}.1.0.bias"] = f32(dim)
+        proj[f"layers.{i}.1.1.weight"] = f32(4 * dim, dim)
+        proj[f"layers.{i}.1.3.weight"] = f32(dim, 4 * dim)
+    return proj
+
+
+def test_ip_adapter_variant_detection(rng):
+    _, _, ip = _unet_torch_sd(rng)
+    assert convert.detect_ip_adapter_variant(ip) == ("standard", 4)
+    plus = {"image_proj": _plus_image_proj(rng), "ip_adapter": ip["ip_adapter"]}
+    assert convert.detect_ip_adapter_variant(plus) == ("plus", 4)
+    upd = convert.ip_config_updates(plus)
+    assert upd == {
+        "ip_variant": "plus", "ip_num_tokens": 4, "ip_resampler_dim": 16,
+        "ip_resampler_depth": 2, "ip_hidden_dim": 24,
+    }
+    f32 = lambda *s: rng.standard_normal(s).astype(np.float32)
+    ff = {"image_proj": {
+        "proj.0.weight": f32(24, 24), "proj.0.bias": f32(24),
+        "proj.2.weight": f32(16, 24), "proj.2.bias": f32(16),
+        "proj.3.weight": f32(16), "proj.3.bias": f32(16),
+    }, "ip_adapter": ip["ip_adapter"]}
+    assert convert.detect_ip_adapter_variant(ff) == ("full_face", 257)
+    assert convert.ip_config_updates(ff)["ip_hidden_dim"] == 24
+
+
+def test_ip_adapter_plus_convert_and_forward(rng):
+    """Synthesized Plus checkpoint -> convert -> structure matches init ->
+    UNet forward over penultimate hidden states runs (VERDICT r1 #5)."""
+    sd, motion, ip = _unet_torch_sd(rng)
+    plus = {"image_proj": _plus_image_proj(rng), "ip_adapter": ip["ip_adapter"]}
+    cfg = CFG.unet.replace(**convert.ip_config_updates(plus),
+                           ip_resampler_heads=2)
+    converted = convert.convert_unet(sd, cfg, motion, None, plus)
+
+    unet = VideoUNet(cfg)
+    lat, n_tok = 8, 5  # any token count of hidden states works
+    args = (
+        jnp.zeros((1, 2, lat, lat, 4)), jnp.zeros(()),
+        jnp.zeros((1, 6, cfg.cross_attention_dim)),
+        jnp.zeros((1, n_tok, cfg.ip_hidden_dim)),
+    )
+    init = unet.init(jax.random.PRNGKey(0), *args, enable_cross_frame_attn=True)
+    got, want = _tree_shapes(converted), _tree_shapes(init["params"])
+    assert got == want, (
+        f"missing: {sorted(set(want) - set(got))[:8]} "
+        f"extra: {sorted(set(got) - set(want))[:8]}"
+    )
+    out = unet.apply({"params": converted}, *args, enable_cross_frame_attn=True)
+    assert out.shape == (1, 2, lat, lat, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ip_adapter_full_face_convert_and_forward(rng):
+    sd, motion, ip = _unet_torch_sd(rng)
+    f32 = lambda *s: rng.standard_normal(s).astype(np.float32)
+    d_txt = CFG.unet.cross_attention_dim
+    ff = {"image_proj": {
+        "proj.0.weight": f32(24, 24), "proj.0.bias": f32(24),
+        "proj.2.weight": f32(d_txt, 24), "proj.2.bias": f32(d_txt),
+        "proj.3.weight": f32(d_txt), "proj.3.bias": f32(d_txt),
+    }, "ip_adapter": ip["ip_adapter"]}
+    cfg = CFG.unet.replace(**convert.ip_config_updates(ff))
+    converted = convert.convert_unet(sd, cfg, motion, None, ff)
+    unet = VideoUNet(cfg)
+    lat = 8
+    args = (
+        jnp.zeros((1, 2, lat, lat, 4)), jnp.zeros(()),
+        jnp.zeros((1, 6, d_txt)),
+        jnp.zeros((1, 257, cfg.ip_hidden_dim)),
+    )
+    out = unet.apply({"params": converted}, *args, enable_cross_frame_attn=True)
+    assert out.shape == (1, 2, lat, lat, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_adapter_extract_merge_roundtrip(rng):
     sd, motion, ip = _unet_torch_sd(rng)
     params = convert.convert_unet(sd, CFG.unet, motion, None, ip)
