@@ -28,34 +28,53 @@ from i2v_adapter_tpu.utils.image import CLIP_MEAN, CLIP_STD, resize_center_crop
 logger = logging.getLogger(__name__)
 
 
+# Decode sequentially through gaps up to this size; seek for larger jumps.
+# Seeking costs a keyframe rewind + decode-forward inside ffmpeg, so tiny
+# gaps (stride sampling) are cheaper to read through.
+_SEEK_GAP = 32
+
+
 def _read_video_frames(path: str, indices: np.ndarray) -> np.ndarray:
-    """Decode the given frame indices (sorted) as (N, H, W, 3) uint8 RGB."""
+    """Decode the given frame indices as (N, H, W, 3) uint8 RGB.
+
+    Indexed reads (the role decord's ``VideoReader.get_batch`` plays in the
+    reference, /root/reference/src/data.py:100-106): seek to the first wanted
+    frame and across any gap larger than _SEEK_GAP instead of decoding every
+    frame from 0 — with stride-4 clips sampled deep inside long videos the
+    sequential version decodes thousands of unused frames per sample."""
     import cv2
 
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise IOError(f"cannot open video: {path}")
     try:
-        frames = []
-        want = list(int(i) for i in indices)
+        want = sorted(set(int(i) for i in indices))
+        decoded = {}
         pos = 0
-        target = 0
-        max_idx = want[-1]
-        wanted_set = {}
-        for i in want:
-            wanted_set.setdefault(i, 0)
-            wanted_set[i] += 1
-        while pos <= max_idx:
-            ok, frame = cap.read()
-            if not ok:
-                raise IOError(f"decode failed at frame {pos} of {path}")
-            if pos in wanted_set:
-                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                for _ in range(wanted_set[pos]):
-                    frames.append(rgb)
-            pos += 1
-        del target
-        return np.stack(frames)
+
+        def seek(target: int) -> int:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, target)
+            landed = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+            # some containers land short of the target; decoding forward from
+            # wherever we landed is always correct.  If the backend reports
+            # landing *past* the target, rewind to 0 (rare, but exact).
+            if landed > target:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                landed = 0
+            return landed
+
+        if want[0] > _SEEK_GAP:
+            pos = seek(want[0])
+        for idx in want:
+            if idx - pos > _SEEK_GAP:
+                pos = seek(idx)
+            while pos <= idx:
+                ok, frame = cap.read()
+                if not ok:
+                    raise IOError(f"decode failed at frame {pos} of {path}")
+                pos += 1
+            decoded[idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        return np.stack([decoded[int(i)] for i in indices])
     finally:
         cap.release()
 
