@@ -42,22 +42,43 @@ def make_latent_train_step(
     learning_rate: float = 1e-4,
     uncond_prob: float = 0.1,
     is_video: bool = False,
+    image_only: bool = False,
 ):
     """Returns (init_fn, step_fn, tx). Batch: latents (B,[T,]H,W,C) in
-    [-1,1]; text_embeds (B,L,D) optional pre-encoded CLIP context."""
+    [-1,1]; text_embeds (B,L,D) optional pre-encoded CLIP context.
+
+    ``is_video`` targets a SimpleUNet3D; ``image_only`` is the reference's
+    joint image+video switch (train_video_latent_cond.py:128-169): single
+    frames run through the video UNet with the temporal branches forced off
+    (AlphaBlender α=1).  Image batches (B, H, W, C) are lifted to T=1 clips."""
     schedule = make_schedule(schedule_config)
     tx = optax.adamw(learning_rate)
 
+    def lift(latents):
+        if is_video and latents.ndim == 4:
+            return latents[:, None]  # (B, H, W, C) -> (B, 1, H, W, C)
+        return latents
+
+    def apply_model(p, noisy, t, context):
+        if is_video:
+            return model.apply(p, noisy, t, context, image_only=image_only)
+        return model.apply(p, noisy, t, context)
+
     def init_fn(rng, sample_batch):
-        latents = jnp.asarray(sample_batch["latents"][:1])
+        latents = lift(jnp.asarray(sample_batch["latents"][:1]))
         ctx = sample_batch.get("text_embeds")
         ctx = jnp.asarray(ctx[:1]) if ctx is not None else None
-        params = model.init(rng, latents, jnp.zeros((1,)), ctx)
+        if is_video:
+            params = model.init(
+                rng, latents, jnp.zeros((1,)), ctx, image_only=image_only
+            )
+        else:
+            params = model.init(rng, latents, jnp.zeros((1,)), ctx)
         return params, tx.init(params)
 
     def step_fn(params, opt_state, batch, rng):
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
-        latents = batch["latents"]
+        latents = lift(batch["latents"])
         b = latents.shape[0]
         ctx = batch.get("text_embeds")
 
@@ -71,7 +92,7 @@ def make_latent_train_step(
                 context = jnp.where(
                     drop[:, None, None], jnp.zeros_like(context), context
                 )
-            pred = model.apply(p, noisy, t, context)
+            pred = apply_model(p, noisy, t, context)
             return jnp.mean((pred - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -137,9 +158,14 @@ def load_simple_checkpoint(path: str) -> dict:
     return unflatten_dict(load_file(path), sep="/")
 
 
-def make_video_latent_train_step(**kwargs):
-    """Video variant with image_only switch (train_video_latent_cond.py)."""
-    return make_latent_train_step(is_video=True, **kwargs)
+def make_video_latent_train_step(model, image_only: bool = False, **kwargs):
+    """Video-latent trainer on a SimpleUNet3D with the reference's joint
+    image+video ``image_only`` switch (train_video_latent_cond.py:128-169):
+    image_only=True trains the same video UNet on single frames with the
+    temporal branches forced off."""
+    return make_latent_train_step(
+        model, is_video=True, image_only=image_only, **kwargs
+    )
 
 
 __all__ = [

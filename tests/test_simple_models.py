@@ -101,6 +101,52 @@ def test_simple_unet3d(rng, image_only):
     assert out.shape == (1, 3, 8, 8, 4)
 
 
+def test_video_latent_trainer_joint_image_video(rng):
+    """One SimpleUNet3D param tree trains on video clips AND single frames
+    with the image_only switch (reference train_video_latent_cond.py:128-169,
+    VERDICT r1 #8)."""
+    from i2v_adapter_tpu.training.train_latent import (
+        make_video_latent_train_step,
+    )
+
+    model = SimpleUNet3D(widths=(8, 16), attention_levels=(False, True), heads=2)
+    video_batch = {
+        "latents": jnp.asarray(
+            rng.standard_normal((2, 3, 8, 8, 4)).astype(np.float32)
+        ),
+        "text_embeds": jnp.asarray(
+            rng.standard_normal((2, 3, 16)).astype(np.float32)
+        ),
+    }
+    image_batch = {
+        "latents": jnp.asarray(
+            rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+        ),
+        "text_embeds": jnp.asarray(
+            rng.standard_normal((2, 3, 16)).astype(np.float32)
+        ),
+    }
+    init_v, step_v, _ = make_video_latent_train_step(model, learning_rate=1e-3)
+    init_i, step_i, _ = make_video_latent_train_step(
+        model, image_only=True, learning_rate=1e-3
+    )
+    params, opt_state = init_v(jax.random.PRNGKey(0), video_batch)
+    # video step
+    params2, opt_state, loss_v = step_v(
+        params, opt_state, video_batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss_v))
+    # image step on the SAME param tree (lifted to T=1, temporal forced off)
+    params3, opt_state, loss_i = step_i(
+        params2, opt_state, image_batch, jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(loss_i))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), params2, params3
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
 def test_latent_trainer_step(rng):
     from i2v_adapter_tpu.training.train_latent import make_latent_train_step
 
