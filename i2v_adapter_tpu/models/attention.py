@@ -210,9 +210,9 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        x = nn.GroupNorm(
-            num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm"
-        )(x)
+        from i2v_adapter_tpu.models.layers import group_norm
+
+        x = group_norm(self.groups, 1e-6, self.dtype, "norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)

@@ -19,6 +19,31 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def group_norm(num_groups: int, epsilon: float, dtype, name: str) -> nn.Module:
+    """GroupNorm used by every model in the hot path.
+
+    ``I2V_GROUPNORM=mm`` selects the matmul-stats implementation
+    (ops/norms.py::GroupNormMM) — identical params/semantics to
+    ``nn.GroupNorm`` (equality-tested), with per-group statistics as one-hot
+    matmuls on the MXU instead of segmented lane reductions.  Measured on
+    v5e at the 512px UNet: standalone nn.GroupNorm lowers pathologically
+    (27 ms for one (32,64,64,320) call vs 0.2 ms memory-bound for MM), but
+    INSIDE the full UNet step the two tie (566.9 vs 566.2 ms/step A/B) —
+    XLA fuses in-context norms into neighboring convs.  nn.GroupNorm stays
+    the default; the knob matters for graphs where the fusion doesn't fire."""
+    import os
+
+    if os.environ.get("I2V_GROUPNORM") == "mm":
+        from i2v_adapter_tpu.ops.norms import GroupNormMM
+
+        return GroupNormMM(
+            num_groups=num_groups, epsilon=epsilon, dtype=dtype, name=name
+        )
+    return nn.GroupNorm(
+        num_groups=num_groups, epsilon=epsilon, dtype=dtype, name=name
+    )
+
+
 def timestep_embedding(
     timesteps: jnp.ndarray,
     dim: int,
@@ -71,9 +96,7 @@ class ResnetBlock2D(nn.Module):
         self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1"
-        )(x)
+        h = group_norm(self.groups, self.eps, self.dtype, "norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
@@ -85,9 +108,7 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2"
-        )(h)
+        h = group_norm(self.groups, self.eps, self.dtype, "norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"

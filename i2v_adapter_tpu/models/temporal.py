@@ -119,9 +119,9 @@ class TemporalTransformer(nn.Module):
         # GroupNorm over channels jointly across (F, H, W) per clip — the
         # reference norms the (B, C, F, H, W) tensor, coupling frames.
         tokens = x.reshape(b, num_frames * h * w, c)
-        tokens = nn.GroupNorm(
-            num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm"
-        )(tokens)
+        from i2v_adapter_tpu.models.layers import group_norm
+
+        tokens = group_norm(self.groups, 1e-6, self.dtype, "norm")(tokens)
 
         tokens = tokens.reshape(b, num_frames, h * w, c)  # (B, F, S, C)
         tokens = nn.Dense(inner, dtype=self.dtype, name="proj_in")(tokens)

@@ -475,9 +475,10 @@ class VideoUNet(nn.Module):
             )(x, block_skips, emb, ctx)
 
         # 7. output head.
-        x = nn.GroupNorm(
-            num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype,
-            name="conv_norm_out",
+        from i2v_adapter_tpu.models.layers import group_norm
+
+        x = group_norm(
+            cfg.norm_num_groups, cfg.norm_eps, self.dtype, "conv_norm_out"
         )(x)
         x = nn.silu(x)
         x = nn.Conv(

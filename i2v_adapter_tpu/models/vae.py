@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from i2v_adapter_tpu.config import VAEConfig
-from i2v_adapter_tpu.models.layers import Downsample2D, ResnetBlock2D, Upsample2D
+from i2v_adapter_tpu.models.layers import (
+    Downsample2D,
+    ResnetBlock2D,
+    Upsample2D,
+    group_norm,
+)
 
 
 class VAEAttention(nn.Module):
@@ -33,9 +38,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(
-            num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm"
-        )(x)
+        y = group_norm(self.groups, 1e-6, self.dtype, "group_norm")(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
@@ -85,9 +88,8 @@ class Encoder(nn.Module):
             out_channels=ch, use_time_emb=False, groups=cfg.norm_num_groups,
             eps=1e-6, dtype=self.dtype, name="mid_resnets_1",
         )(x)
-        x = nn.GroupNorm(
-            num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
-            name="conv_norm_out",
+        x = group_norm(
+            cfg.norm_num_groups, 1e-6, self.dtype, "conv_norm_out"
         )(x)
         x = nn.silu(x)
         # 2*latent moments, then the separate quant conv.
@@ -128,9 +130,8 @@ class Decoder(nn.Module):
                 )(x)
             if i < n - 1:
                 x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
-        x = nn.GroupNorm(
-            num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
-            name="conv_norm_out",
+        x = group_norm(
+            cfg.norm_num_groups, 1e-6, self.dtype, "conv_norm_out"
         )(x)
         x = nn.silu(x)
         x = nn.Conv(

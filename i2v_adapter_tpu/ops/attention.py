@@ -215,17 +215,22 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
-    dp = _round_up(d, _LANE)
+    # Head dim stays UNPADDED in HBM: Mosaic pads VMEM tiles to the 128-lane
+    # boundary transparently, so explicitly padding 40 -> 128 only cost HBM
+    # traffic and pad kernels (measured ~19 ms/step of pad ops + copies at
+    # 512px).  The MXU contraction is 128-deep either way.
+    dp = d
     block_q = _pick_block(nq, block_q)
     block_kv = _pick_block(nk, block_kv)
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_kv)
 
-    # (B, N, H, D) -> (B*H, N, Dp): head becomes part of the grid batch.
+    # (B, N, H, D) -> (B*H, N, D): head becomes part of the grid batch.
     def to3(x, n_pad):
         b, n, _, _ = x.shape
         x = jnp.swapaxes(x, 1, 2)  # (B, H, N, D)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, dp - d)))
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
         return x.reshape(b * h, n_pad, dp)
 
     # pre-scale q by scale*log2(e): the kernel softmax runs in log2 space
@@ -240,7 +245,7 @@ def flash_attention(
         heads=h, kv_repeat=kv_repeat, kv_len=nk,
         block_q=block_q, block_kv=block_kv, interpret=interpret,
     )
-    o = o3.reshape(bq, h, nq_pad, dp)[:, :, :nq, :d]
+    o = o3.reshape(bq, h, nq_pad, dp)[:, :, :nq, :]
     return jnp.swapaxes(o, 1, 2)  # (B, Nq, H, D)
 
 
@@ -251,10 +256,13 @@ def flash_attention(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _attention_pallas(q, k, v, kv_repeat, scale, interpret):
-    # (512, 1024) blocks measured ~10x faster than (256, 512) on the
-    # dominant 4096-token sites of the 512px UNet (ops/tune.py, v5e).
+    # Block sweep on v5e (512px 4096-token sites, round 2): (512, 4096)
+    # 12.3 ms vs (512, 1024) 14.9 ms — the whole K/V fits VMEM so the
+    # online-softmax runs single-pass per q block.  _pick_block caps the
+    # kv block at nk for shorter sites.
     return flash_attention(
-        q, k, v, kv_repeat=kv_repeat, scale=scale, interpret=interpret
+        q, k, v, kv_repeat=kv_repeat, scale=scale,
+        block_q=512, block_kv=4096, interpret=interpret,
     )
 
 

@@ -41,7 +41,14 @@ def time_config(name: str, cfg: VideoUNetConfig, params=None):
                 enable_cross_frame_attn=cfg.use_i2v_adapter,
             )
         )
-        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        # bf16 weights like serving (fp32 zeros double the weight reads and
+        # halve matmul rate — round-2 lesson: it inflated every component)
+        params = jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+            ),
+            shapes,
+        )
 
     def run(params, x0):
         def step(x, _):

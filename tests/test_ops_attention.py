@@ -133,3 +133,45 @@ def test_temporal_attention_vpu2_matches_mxu(rng):
     a = temporal_attention(q, k, v, heads=2, impl="vpu2")
     b = temporal_attention(q, k, v, heads=2, impl="mxu")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_groupnorm_mm_matches_flax(rng):
+    """Matmul-stats GroupNorm == nn.GroupNorm (same params/eps)."""
+    import flax.linen as nn
+
+    from i2v_adapter_tpu.ops.norms import GroupNormMM
+
+    x = rng.standard_normal((3, 6, 6, 32)).astype(np.float32) * 3 + 1.5
+    ref_mod = nn.GroupNorm(num_groups=8, epsilon=1e-6)
+    params = ref_mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # non-trivial affine
+    params = {"params": {
+        "scale": jnp.asarray(rng.standard_normal(32).astype(np.float32)),
+        "bias": jnp.asarray(rng.standard_normal(32).astype(np.float32)),
+    }}
+    want = ref_mod.apply(params, jnp.asarray(x))
+    got = GroupNormMM(num_groups=8, epsilon=1e-6).apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # rank-2 and rank-3 inputs too
+    x2 = rng.standard_normal((4, 5, 32)).astype(np.float32)
+    want2 = ref_mod.apply(params, jnp.asarray(x2))
+    got2 = GroupNormMM(num_groups=8, epsilon=1e-6).apply(params, jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_layernorm_mm_matches_flax(rng):
+    import flax.linen as nn
+
+    from i2v_adapter_tpu.ops.norms import LayerNormMM
+
+    x = rng.standard_normal((3, 5, 32)).astype(np.float32) * 2 - 0.7
+    params = {"params": {
+        "scale": jnp.asarray(rng.standard_normal(32).astype(np.float32)),
+        "bias": jnp.asarray(rng.standard_normal(32).astype(np.float32)),
+    }}
+    want = nn.LayerNorm(epsilon=1e-5).apply(params, jnp.asarray(x))
+    got = LayerNormMM(epsilon=1e-5).apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
