@@ -317,7 +317,7 @@ def _bench_loader():
     os.makedirs(page)
     rng = np.random.default_rng(0)
     rows = []
-    n_videos, n_frames_per_video = 8, 400
+    n_videos, n_frames_per_video = 48, 400
     for vid in range(n_videos):
         path = os.path.join(page, f"v{vid}.mp4")
         w = cv2.VideoWriter(
@@ -341,20 +341,20 @@ def _bench_loader():
                        sample_n_frames=16, seed=0)
     batch_size = int(os.environ.get("BENCH_LOADER_BATCH", "8"))
     loader = DataLoader(ds, batch_size, shuffle=True, num_workers=8, seed=0)
-    # warm one epoch pass of a few batches, then measure
-    it = iter(loader)
-    next(it)
+    # one full cold epoch (decode + preprocess under worker overlap)
     t0 = time.time()
-    n = 0
-    for batch in it:
-        n += 1
-        if n >= 6:
-            break
+    n = sum(1 for _ in loader)
     dt = (time.time() - t0) / max(n, 1)
+    import multiprocessing
+
+    cores = multiprocessing.cpu_count()
     print(
-        f"[bench] loader: {dt:.3f} s/batch (batch {batch_size}, 256px 16f "
-        f"stride4, seek-decode) = {1 / dt:.2f} batches/s; train step needs "
-        f"1/0.414 = 2.42 batches/s at b2 -> b8 budget 1.656 s/batch",
+        f"[bench] loader: {dt:.3f} s/batch over {n} batches (batch "
+        f"{batch_size}, 256px 16f stride4, seek-decode, 8 workers on "
+        f"{cores} visible core(s)) = {1 / dt:.2f} batches/s; the 0.414 "
+        f"s/step b2 train budget scaled to b8 is 1.656 s/batch; per-sample "
+        f"cost {dt * cores / batch_size:.2f} core-s scales with host cores "
+        f"(v5e hosts have 100+)",
         file=sys.stderr,
     )
 

@@ -335,9 +335,20 @@ def temporal_attention(
     scale = 1.0 / math.sqrt(d)
 
     if impl == "auto":
-        # S-on-lanes vpu2 wins at 64x64 (3.5 vs 8.8 ms mxu); mxu wins at
-        # small s (v5e measured, ops/profile_motion.py)
-        impl = "vpu2" if s >= 2048 else "mxu"
+        # S-on-lanes vpu2 wins at 64x64 and is within ~3x of the pure-VPU
+        # roofline; a fused Pallas frame-attention kernel was tried in round
+        # 2 and lost 15x (34.6 vs 2.3 ms at the top site: Mosaic serializes
+        # the (F,G,D,S) broadcast products).  mxu einsum wins at small s.
+        # I2V_TEMPORAL_IMPL overrides for in-context layout experiments (the
+        # vpu2 transposes propagate S-on-lanes layouts into neighboring
+        # matmul fusions).
+        import os
+
+        forced = os.environ.get("I2V_TEMPORAL_IMPL")
+        if forced:
+            impl = forced
+        else:
+            impl = "vpu2" if s >= 2048 else "mxu"
     if impl == "mxu":
         scores = jnp.einsum(
             "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32

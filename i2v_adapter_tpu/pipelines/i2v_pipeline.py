@@ -476,7 +476,13 @@ class I2VAdapterPipeline:
                     flat,
                     decode_slice,
                 )
-            video = video.reshape(batch, f, height, width, cfg.vae.out_channels)
+            # return (B, F, H, W*C): a trailing channel dim of 3 would get
+            # lane-padded 3->128 in the output buffer copy (42.7x, 16 GB at
+            # batch 8); the flattened form is contiguous so the host reshape
+            # is free
+            video = video.reshape(
+                batch, f, height, width * cfg.vae.out_channels
+            )
             return video.astype(jnp.float32)
 
         return jax.jit(sample_fn)
@@ -585,7 +591,9 @@ class I2VAdapterPipeline:
             jnp.asarray(clip_img),
             jax.random.PRNGKey(seed),
         )
-        video = np.asarray(video)
+        video = np.asarray(video).reshape(
+            batch, num_frames, height, width, self.config.vae.out_channels
+        )
         if output_type == "pt" or output_type == "float":
             return video
         return image_utils.postprocess_video(video)
