@@ -140,6 +140,113 @@ def _flash_kernel(
         o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_t(
+    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, kv_len: int, block_kv: int,
+):
+    """Transposed-input variant: q/k/v arrive as (1, Dp, block) — the layout
+    the projection matmuls already produce on TPU ((B,H,D,N) row-major is
+    byte-identical to XLA's natural transposed-matmul output), so the
+    (B,N,H,D)->(B,H,N,D) HBM copies before the kernel disappear.  The MXU
+    contracts over sublanes on both operands (the "TN" dot form it natively
+    streams); output stays (block_q, Dp) row-major for the to_out matmul."""
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -1e30)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (d_pad, block_q)
+    kb = k_ref[0]  # (d_pad, block_kv)
+    s = jax.lax.dot_general(
+        q, kb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_kv), log2-space scores
+
+    if kv_len % block_kv != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+        s = jnp.where(col < kv_len, s, -1e30)
+
+    m_prev = m_scratch[:]
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new[:, :1])
+    l_new = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+
+    m_scratch[:] = m_new
+    l_scratch[:] = l_new
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, d_pad)
+    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + pv
+
+    @pl.when(j == num_kv - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_forward_t(
+    q3: jnp.ndarray,  # (BH, Dp, Nq_pad)
+    k3: jnp.ndarray,  # (BkvH, Dp, Nk_pad)
+    v3: jnp.ndarray,
+    *,
+    heads: int,
+    kv_repeat: int,
+    kv_len: int,
+    block_q: int,
+    block_kv: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    bh, dp, nq_pad = q3.shape
+    _, _, nk_pad = k3.shape
+    grid = (bh, nq_pad // block_q, nk_pad // block_kv)
+    fh = kv_repeat * heads
+
+    def q_index(b, i, j):
+        return (b, 0, i)
+
+    def kv_index(b, i, j):
+        return ((b // fh) * heads + b % heads, 0, j)
+
+    def o_index(b, i, j):
+        return (b, i, 0)
+
+    kernel = functools.partial(_flash_kernel_t, kv_len=kv_len, block_kv=block_kv)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dp, block_q), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp, block_kv), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp, block_kv), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), o_index, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, dp), q3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * nq_pad * nk_pad * dp,
+            bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize,
+            transcendentals=bh * nq_pad * nk_pad,
+        ),
+        interpret=interpret,
+    )(q3, k3, v3)
+
+
 def _flash_forward(
     q3: jnp.ndarray,  # (BH, Nq_pad, Dp)
     k3: jnp.ndarray,  # (BkvH, Nk_pad, Dp)
@@ -206,6 +313,7 @@ def flash_attention(
     block_q: int = 1024,
     block_kv: int = 1024,
     interpret: bool = False,
+    transposed_io: bool = True,
 ) -> jnp.ndarray:
     """Pallas fused attention. Shapes as in module docstring."""
     bq, nq, h, d = q.shape
@@ -225,26 +333,42 @@ def flash_attention(
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_kv)
 
-    # (B, N, H, D) -> (B*H, N, D): head becomes part of the grid batch.
-    def to3(x, n_pad):
-        b, n, _, _ = x.shape
-        x = jnp.swapaxes(x, 1, 2)  # (B, H, N, D)
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-        return x.reshape(b * h, n_pad, dp)
-
     # pre-scale q by scale*log2(e): the kernel softmax runs in log2 space
     # (fp32 multiply before the cast keeps the rounding at bf16 level)
     log2e_scale = scale * 1.4426950408889634
-    q3 = to3((q.astype(jnp.float32) * log2e_scale).astype(q.dtype), nq_pad)
-    k3 = to3(k, nk_pad)
-    v3 = to3(v, nk_pad)
+    q = (q.astype(jnp.float32) * log2e_scale).astype(q.dtype)
 
-    o3 = _flash_forward(
-        q3, k3, v3,
-        heads=h, kv_repeat=kv_repeat, kv_len=nk,
-        block_q=block_q, block_kv=block_kv, interpret=interpret,
-    )
+    if transposed_io:
+        # (B, N, H, D) -> (B*H, D, N): byte-identical to the layout XLA's
+        # projection matmuls already produce for a transposed consumer, so
+        # this is a bitcast, not an HBM copy (the row-major path costs a
+        # measured ~0.55 ms copy per tensor per 4096-token site).
+        def to3t(x, n_pad):
+            b, n, _, _ = x.shape
+            x = jnp.transpose(x, (0, 2, 3, 1))  # (B, H, D, N)
+            if n_pad != n:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
+            return x.reshape(b * h, dp, n_pad)
+
+        o3 = _flash_forward_t(
+            to3t(q, nq_pad), to3t(k, nk_pad), to3t(v, nk_pad),
+            heads=h, kv_repeat=kv_repeat, kv_len=nk,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
+    else:
+        # (B, N, H, D) -> (B*H, N, D): head becomes part of the grid batch.
+        def to3(x, n_pad):
+            b, n, _, _ = x.shape
+            x = jnp.swapaxes(x, 1, 2)  # (B, H, N, D)
+            if n_pad != n:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+            return x.reshape(b * h, n_pad, dp)
+
+        o3 = _flash_forward(
+            to3(q, nq_pad), to3(k, nk_pad), to3(v, nk_pad),
+            heads=h, kv_repeat=kv_repeat, kv_len=nk,
+            block_q=block_q, block_kv=block_kv, interpret=interpret,
+        )
     o = o3.reshape(bq, h, nq_pad, dp)[:, :, :nq, :]
     return jnp.swapaxes(o, 1, 2)  # (B, Nq, H, D)
 
@@ -312,6 +436,120 @@ def _attention_bwd(kv_repeat, scale, interpret, res, g):
 _attention_pallas.defvjp(_attention_fwd, _attention_bwd)
 
 
+def _temporal_kernel4(q_ref, k_ref, v_ref, o_ref, *, frames: int, heads: int):
+    """Fused frame-axis attention for one (batch, s-block) program.
+
+    Refs are (1, F, block_s, C) slices of the (B, F, S, C) activations —
+    the layout the projection matmuls already produce, so no HBM
+    transposes happen outside the kernel (the XLA vpu2 path costs ~5
+    materialized transposes per call).  Blocks span the full channel dim
+    (the Pallas TPU lowering requires the last two block dims be
+    (8,128)-divisible or full); heads split in-kernel.  Inside, per-head
+    tiles are flipped to (d, block_s) so the d-contraction runs over
+    sublanes and every elementwise op streams along the lanes; q arrives
+    pre-scaled by ``scale*log2(e)`` so the softmax is a pure exp2.
+
+    The per-query-frame Python loop keeps intermediates at (G, d, block_s)
+    — a whole-(F,G,d,S) broadcast product was the round-2 dead end that
+    made Mosaic serialize (34.6 ms vs 2.3 ms at the top site)."""
+    c = q_ref.shape[-1]
+    d = c // heads
+    q = q_ref[0]  # (F, bs, C)
+    k = k_ref[0]
+    v = v_ref[0]
+    out_heads = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qT = jnp.transpose(q[..., sl], (0, 2, 1)).astype(jnp.float32)
+        kT = jnp.transpose(k[..., sl], (0, 2, 1)).astype(jnp.float32)
+        vT = jnp.transpose(v[..., sl], (0, 2, 1)).astype(jnp.float32)
+        outs = []
+        for f in range(frames):
+            s = jnp.sum(qT[f][None] * kT, axis=1)  # (G, bs), log2-space
+            m = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp2(s - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            o_f = jnp.sum(p[:, None, :] * vT, axis=0)  # (d, bs)
+            # cast per frame: keeps the staged head outputs at bf16 (the
+            # fp32 staging was half the VMEM overrun at block_s=128)
+            outs.append(jnp.transpose(o_f, (1, 0)).astype(o_ref.dtype))
+        out_heads.append(jnp.stack(outs, axis=0))  # (F, bs, d)
+    o_ref[0] = jnp.concatenate(out_heads, axis=-1)
+
+
+def _temporal_flash(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
+    block_s: int = 64, interpret: bool = False,
+) -> jnp.ndarray:
+    # block_s=256/128 blow the 16 MB VMEM scoped limit (24.0/19.2 MB: 3
+    # double-buffered full-C inputs + the per-head staging); 64 fits.
+    """Pallas frame-attention on (B, F, S, C); returns (B, F, S, C)."""
+    b, f, s, c = q.shape
+    d = c // heads
+    scale = 1.4426950408889634 / math.sqrt(d)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    block_s = min(block_s, s)
+    if s % block_s != 0:  # spatial sites are powers of two; be safe
+        block_s = math.gcd(s, block_s)
+    grid = (b, s // block_s)
+    spec = pl.BlockSpec(
+        (1, f, block_s, c),
+        lambda bi, si: (bi, 0, si, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_temporal_kernel4, frames=f, heads=heads),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, f, s, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * f * f * s * d,
+            bytes_accessed=3 * b * f * s * c * q.dtype.itemsize,
+            transcendentals=b * heads * f * f * s,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _temporal_pallas(q, k, v, heads, interpret):
+    return _temporal_flash(q, k, v, heads=heads, interpret=interpret)
+
+
+def _temporal_ref_mxu(q, k, v, heads):
+    """XLA einsum reference used for the pallas backward."""
+    b, f, s, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, f, s, heads, d)
+    kh = k.reshape(b, f, s, heads, d)
+    vh = v.reshape(b, f, s, heads, d)
+    scores = jnp.einsum(
+        "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32
+    ) / math.sqrt(d)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "bshfg,bgshd->bfshd", probs, vh, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, f, s, c).astype(q.dtype)
+
+
+def _temporal_fwd(q, k, v, heads, interpret):
+    return _temporal_pallas(q, k, v, heads, interpret), (q, k, v)
+
+
+def _temporal_bwd(heads, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b2, c2: _temporal_ref_mxu(a, b2, c2, heads), q, k, v)
+    return vjp(g.astype(q.dtype))
+
+
+_temporal_pallas.defvjp(_temporal_fwd, _temporal_bwd)
+
+
 def temporal_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
     impl: str = "auto",
@@ -335,13 +573,14 @@ def temporal_attention(
     scale = 1.0 / math.sqrt(d)
 
     if impl == "auto":
-        # S-on-lanes vpu2 wins at 64x64 and is within ~3x of the pure-VPU
-        # roofline; a fused Pallas frame-attention kernel was tried in round
-        # 2 and lost 15x (34.6 vs 2.3 ms at the top site: Mosaic serializes
-        # the (F,G,D,S) broadcast products).  mxu einsum wins at small s.
-        # I2V_TEMPORAL_IMPL overrides for in-context layout experiments (the
-        # vpu2 transposes propagate S-on-lanes layouts into neighboring
-        # matmul fusions).
+        # The fused pallas kernel (grid over (b, h, s-blocks), per-frame
+        # unrolled loop so intermediates stay (F,d,block_s)) replaces vpu2's
+        # five HBM transposes per call and is MORE accurate than the einsum
+        # lowering (3e-6 vs 1.5e-2 max err against float64 — XLA's einsum
+        # runs the d-contraction at default matmul precision).  A whole-
+        # (F,G,D,S) broadcast kernel was the round-2 dead end (34.6 ms);
+        # this per-frame formulation measures faster than vpu2 in-context.
+        # I2V_TEMPORAL_IMPL overrides for layout experiments.
         import os
 
         forced = os.environ.get("I2V_TEMPORAL_IMPL")
@@ -349,6 +588,10 @@ def temporal_attention(
             impl = forced
         else:
             impl = "vpu2" if s >= 2048 else "mxu"
+    if impl == "pallas":
+        return _temporal_pallas(q, k, v, heads, False)
+    if impl == "pallas_interpret":
+        return _temporal_pallas(q, k, v, heads, True)
     if impl == "mxu":
         scores = jnp.einsum(
             "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32

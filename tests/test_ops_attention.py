@@ -135,6 +135,61 @@ def test_temporal_attention_vpu2_matches_mxu(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_temporal_attention_pallas_matches_f64(rng):
+    """The fused pallas frame-attention kernel against a float64 gold
+    reference.  The XLA einsum path ('mxu') runs the d-contraction at
+    default matmul precision (~1.5e-2 max err at d=40), so the kernel is
+    compared against numpy float64, not against it."""
+    import math
+
+    from i2v_adapter_tpu.ops.attention import temporal_attention
+
+    b, f, s, c, h = 2, 4, 6, 16, 2
+    d = c // h
+    q = rng.standard_normal((b, f, s, c)).astype(np.float32)
+    k = rng.standard_normal((b, f, s, c)).astype(np.float32)
+    v = rng.standard_normal((b, f, s, c)).astype(np.float32)
+
+    qh = q.astype(np.float64).reshape(b, f, s, h, d)
+    kh = k.astype(np.float64).reshape(b, f, s, h, d)
+    vh = v.astype(np.float64).reshape(b, f, s, h, d)
+    scores = np.einsum("bfshd,bgshd->bshfg", qh, kh) / math.sqrt(d)
+    scores -= scores.max(axis=-1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(axis=-1, keepdims=True)
+    gold = np.einsum("bshfg,bgshd->bfshd", p, vh).reshape(b, f, s, c)
+
+    got = temporal_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=h,
+        impl="pallas_interpret",
+    )
+    np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_attention_pallas_backward_matches_mxu(rng):
+    """custom_vjp backward of the pallas temporal path == autodiff of the
+    einsum reference."""
+    from i2v_adapter_tpu.ops.attention import temporal_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 4, 6, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+
+    def loss(impl):
+        def f(q, k, v):
+            out = temporal_attention(q, k, v, heads=2, impl=impl)
+            return jnp.sum(out * out)
+
+        return f
+
+    g_pallas = jax.grad(loss("pallas_interpret"), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss("mxu"), argnums=(0, 1, 2))(q, k, v)
+    for a, b2 in zip(g_pallas, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_groupnorm_mm_matches_flax(rng):
     """Matmul-stats GroupNorm == nn.GroupNorm (same params/eps)."""
     import flax.linen as nn
