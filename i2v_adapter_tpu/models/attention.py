@@ -89,26 +89,25 @@ class Attention(nn.Module):
 
 class FeedForward(nn.Module):
     """GEGLU feed-forward (diffusers ``FeedForward`` with activation 'geglu'):
-    proj to 2*4*dim, split, gelu-gate, project back."""
+    proj to 2*4*dim, split, gelu-gate, project back.
+
+    ``gelu_tanh`` swaps the erf gelu for the tanh approximation — the
+    deviation (~1e-3 relative) is below bf16 resolution, and the erf
+    lowering dominates the FF epilogue fusion on the VPU (full UNet step
+    459 -> 432 ms measured with tanh at 512px).  ``VideoUNetConfig.fast_gelu``
+    threads it; primitives default to exact for fp32 torch parity."""
 
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import os
-
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        # I2V_GELU=tanh swaps the erf gelu for the tanh approximation — the
-        # deviation (~1e-3 relative) is below bf16 resolution, and the erf
-        # lowering dominates the FF epilogue fusion on the VPU (the
-        # (32,4096,2560)-input add_add fusions measure 2.8 ms/site of which
-        # ~1.7 ms is transcendentals).  Default stays exact for parity.
-        approx = os.environ.get("I2V_GELU", "exact") == "tanh"
-        h = h * nn.gelu(gate, approximate=approx)
+        h = h * nn.gelu(gate, approximate=self.gelu_tanh)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
@@ -129,6 +128,7 @@ class TransformerBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(
@@ -185,7 +185,7 @@ class TransformerBlock(nn.Module):
 
         norm_h = ln("norm3")(hidden_states)
         hidden_states = hidden_states + FeedForward(
-            dim=self.dim, dtype=self.dtype, name="ff"
+            dim=self.dim, dtype=self.dtype, gelu_tanh=self.gelu_tanh, name="ff"
         )(norm_h)
         return hidden_states
 
@@ -205,6 +205,7 @@ class SpatialTransformer(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(
@@ -234,6 +235,7 @@ class SpatialTransformer(nn.Module):
                 use_i2v_adapter=self.use_i2v_adapter,
                 ip_num_tokens=self.ip_num_tokens, ip_scale=self.ip_scale,
                 dtype=self.dtype, attn_impl=self.attn_impl,
+                gelu_tanh=self.gelu_tanh,
                 name=f"transformer_blocks_{i}",
             )(
                 x, encoder_hidden_states,

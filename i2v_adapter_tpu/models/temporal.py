@@ -64,6 +64,7 @@ class TemporalBlock(nn.Module):
     max_seq_length: int = 32
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -92,7 +93,9 @@ class TemporalBlock(nn.Module):
         )(norm_h)
 
         norm_h = ln("norm3")(x)
-        x = x + FeedForward(dim=self.dim, dtype=self.dtype, name="ff")(norm_h)
+        x = x + FeedForward(
+            dim=self.dim, dtype=self.dtype, gelu_tanh=self.gelu_tanh, name="ff"
+        )(norm_h)
         return x
 
 
@@ -105,7 +108,8 @@ class TemporalTransformer(nn.Module):
     max_seq_length: int = 32
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "auto"  # kept for config compatibility; einsum path
+    attn_impl: str = "auto"  # kept for config compatibility; ops dispatcher
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, num_frames: int) -> jnp.ndarray:
@@ -130,6 +134,7 @@ class TemporalTransformer(nn.Module):
             tokens = TemporalBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 max_seq_length=self.max_seq_length, dtype=self.dtype,
+                gelu_tanh=self.gelu_tanh,
                 name=f"transformer_blocks_{i}",
             )(tokens)
 

@@ -198,7 +198,7 @@ class DownBlock(nn.Module):
                     use_linear_projection=cfg.use_linear_projection,
                     use_i2v_adapter=cfg.use_i2v_adapter,
                     ip_num_tokens=cfg.ip_num_tokens if cfg.use_ip_adapter else 0,
-                    ip_scale=cfg.ip_scale,
+                    ip_scale=cfg.ip_scale, gelu_tanh=cfg.fast_gelu,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     attn_impl="auto" if cfg.flash_attention else "xla",
                     name=f"attentions_{i}",
@@ -213,6 +213,7 @@ class DownBlock(nn.Module):
                     dim_head=self.out_channels // cfg.motion_num_attention_heads,
                     max_seq_length=cfg.motion_max_seq_length,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
+                    gelu_tanh=cfg.fast_gelu,
                     attn_impl="auto" if cfg.flash_attention else "xla",
                     name=f"motion_modules_{i}",
                 )(x, num_frames=num_frames)
@@ -270,7 +271,7 @@ class UpBlock(nn.Module):
                     use_linear_projection=cfg.use_linear_projection,
                     use_i2v_adapter=cfg.use_i2v_adapter,
                     ip_num_tokens=cfg.ip_num_tokens if cfg.use_ip_adapter else 0,
-                    ip_scale=cfg.ip_scale,
+                    ip_scale=cfg.ip_scale, gelu_tanh=cfg.fast_gelu,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     attn_impl="auto" if cfg.flash_attention else "xla",
                     name=f"attentions_{i}",
@@ -285,6 +286,7 @@ class UpBlock(nn.Module):
                     dim_head=self.out_channels // cfg.motion_num_attention_heads,
                     max_seq_length=cfg.motion_max_seq_length,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
+                    gelu_tanh=cfg.fast_gelu,
                     attn_impl="auto" if cfg.flash_attention else "xla",
                     name=f"motion_modules_{i}",
                 )(x, num_frames=num_frames)
@@ -326,7 +328,7 @@ class MidBlock(nn.Module):
                 use_linear_projection=cfg.use_linear_projection,
                 use_i2v_adapter=cfg.use_i2v_adapter,
                 ip_num_tokens=cfg.ip_num_tokens if cfg.use_ip_adapter else 0,
-                ip_scale=cfg.ip_scale,
+                ip_scale=cfg.ip_scale, gelu_tanh=cfg.fast_gelu,
                 groups=cfg.norm_num_groups, dtype=self.dtype,
                 attn_impl="auto" if cfg.flash_attention else "xla",
                 name=f"attentions_{i}",
@@ -341,6 +343,7 @@ class MidBlock(nn.Module):
                     dim_head=self.channels // cfg.motion_num_attention_heads,
                     max_seq_length=cfg.motion_max_seq_length,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
+                    gelu_tanh=cfg.fast_gelu,
                     attn_impl="auto" if cfg.flash_attention else "xla",
                     name=f"motion_modules_{i}",
                 )(x, num_frames=num_frames)

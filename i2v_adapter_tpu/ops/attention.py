@@ -142,7 +142,7 @@ def _flash_kernel(
 
 def _flash_kernel_t(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-    *, kv_len: int, block_kv: int,
+    *, kv_len: int, block_kv: int, out_t: bool = False,
 ):
     """Transposed-input variant: q/k/v arrive as (1, Dp, block) — the layout
     the projection matmuls already produce on TPU ((B,H,D,N) row-major is
@@ -190,7 +190,11 @@ def _flash_kernel_t(
 
     @pl.when(j == num_kv - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+        o = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+        # out_t writes (d_pad, block_q): the in-VMEM transpose is a few
+        # thousand elements; it lets the HBM output keep the N-minor layout
+        # the to_out matmul can read without a materialized copy.
+        o_ref[0] = jnp.transpose(o, (1, 0)) if out_t else o
 
 
 def _flash_forward_t(
@@ -204,6 +208,7 @@ def _flash_forward_t(
     block_q: int,
     block_kv: int,
     interpret: bool = False,
+    transposed_out: bool = False,
 ) -> jnp.ndarray:
     bh, dp, nq_pad = q3.shape
     _, _, nk_pad = k3.shape
@@ -219,7 +224,19 @@ def _flash_forward_t(
     def o_index(b, i, j):
         return (b, i, 0)
 
-    kernel = functools.partial(_flash_kernel_t, kv_len=kv_len, block_kv=block_kv)
+    def o_index_t(b, i, j):
+        return (b, 0, i)
+
+    kernel = functools.partial(
+        _flash_kernel_t, kv_len=kv_len, block_kv=block_kv,
+        out_t=transposed_out,
+    )
+    if transposed_out:
+        out_spec = pl.BlockSpec((1, dp, block_q), o_index_t, memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((bh, dp, nq_pad), q3.dtype)
+    else:
+        out_spec = pl.BlockSpec((1, block_q, dp), o_index, memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((bh, nq_pad, dp), q3.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -228,8 +245,8 @@ def _flash_forward_t(
             pl.BlockSpec((1, dp, block_kv), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dp, block_kv), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dp), o_index, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, dp), q3.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANE), jnp.float32),
             pltpu.VMEM((block_q, _LANE), jnp.float32),
@@ -314,6 +331,7 @@ def flash_attention(
     block_kv: int = 1024,
     interpret: bool = False,
     transposed_io: bool = True,
+    transposed_out: bool = False,
 ) -> jnp.ndarray:
     """Pallas fused attention. Shapes as in module docstring."""
     bq, nq, h, d = q.shape
@@ -354,7 +372,13 @@ def flash_attention(
             to3t(q, nq_pad), to3t(k, nk_pad), to3t(v, nk_pad),
             heads=h, kv_repeat=kv_repeat, kv_len=nk,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
+            transposed_out=transposed_out,
         )
+        if transposed_out:
+            # (BH, D, N) -> (B, Nq, H, D); N-minor stays physical, so the
+            # logical transpose is layout-foldable into the to_out matmul.
+            o = o3.reshape(bq, h, dp, nq_pad)[:, :, :, :nq]
+            return jnp.transpose(o, (0, 3, 1, 2))
     else:
         # (B, N, H, D) -> (B*H, N, D): head becomes part of the grid batch.
         def to3(x, n_pad):
@@ -384,9 +408,12 @@ def _attention_pallas(q, k, v, kv_repeat, scale, interpret):
     # 12.3 ms vs (512, 1024) 14.9 ms — the whole K/V fits VMEM so the
     # online-softmax runs single-pass per q block.  _pick_block caps the
     # kv block at nk for shorter sites.
+    import os
+
     return flash_attention(
         q, k, v, kv_repeat=kv_repeat, scale=scale,
         block_q=512, block_kv=4096, interpret=interpret,
+        transposed_out=os.environ.get("I2V_FLASH_OUT_T", "1") == "1",
     )
 
 
@@ -436,7 +463,9 @@ def _attention_bwd(kv_repeat, scale, interpret, res, g):
 _attention_pallas.defvjp(_attention_fwd, _attention_bwd)
 
 
-def _temporal_kernel4(q_ref, k_ref, v_ref, o_ref, *, frames: int, heads: int):
+def _temporal_kernel4(
+    q_ref, k_ref, v_ref, o_ref, *, frames: int, heads: int, scale: float,
+):
     """Fused frame-axis attention for one (batch, s-block) program.
 
     Refs are (1, F, block_s, C) slices of the (B, F, S, C) activations —
@@ -460,7 +489,10 @@ def _temporal_kernel4(q_ref, k_ref, v_ref, o_ref, *, frames: int, heads: int):
     out_heads = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        qT = jnp.transpose(q[..., sl], (0, 2, 1)).astype(jnp.float32)
+        # scale*log2(e) folded here: an outside prescale costs a full
+        # elementwise pass AND broke the producer-layout bitcast into the
+        # kernel (measured 9.2 ms of copy+multiply per step at 512px)
+        qT = jnp.transpose(q[..., sl], (0, 2, 1)).astype(jnp.float32) * scale
         kT = jnp.transpose(k[..., sl], (0, 2, 1)).astype(jnp.float32)
         vT = jnp.transpose(v[..., sl], (0, 2, 1)).astype(jnp.float32)
         outs = []
@@ -479,15 +511,18 @@ def _temporal_kernel4(q_ref, k_ref, v_ref, o_ref, *, frames: int, heads: int):
 
 def _temporal_flash(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
-    block_s: int = 64, interpret: bool = False,
+    block_s: int = 0, interpret: bool = False,
 ) -> jnp.ndarray:
-    # block_s=256/128 blow the 16 MB VMEM scoped limit (24.0/19.2 MB: 3
-    # double-buffered full-C inputs + the per-head staging); 64 fits.
     """Pallas frame-attention on (B, F, S, C); returns (B, F, S, C)."""
     b, f, s, c = q.shape
     d = c // heads
     scale = 1.4426950408889634 / math.sqrt(d)
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if block_s == 0:
+        # blocks span the full channel dim, so scale the s-block down as C
+        # grows to stay inside the 16 MB scoped-VMEM limit (at C=320,
+        # block_s 256/128 measured 24.0/19.2 MB: 3 double-buffered inputs
+        # + per-head staging; 64 fits).
+        block_s = max(8, 64 * 320 // c)
     block_s = min(block_s, s)
     if s % block_s != 0:  # spatial sites are powers of two; be safe
         block_s = math.gcd(s, block_s)
@@ -498,7 +533,7 @@ def _temporal_flash(
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        functools.partial(_temporal_kernel4, frames=f, heads=heads),
+        functools.partial(_temporal_kernel4, frames=f, heads=heads, scale=scale),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -573,19 +608,23 @@ def temporal_attention(
     scale = 1.0 / math.sqrt(d)
 
     if impl == "auto":
-        # The fused pallas kernel (grid over (b, h, s-blocks), per-frame
-        # unrolled loop so intermediates stay (F,d,block_s)) replaces vpu2's
-        # five HBM transposes per call and is MORE accurate than the einsum
-        # lowering (3e-6 vs 1.5e-2 max err against float64 — XLA's einsum
-        # runs the d-contraction at default matmul precision).  A whole-
-        # (F,G,D,S) broadcast kernel was the round-2 dead end (34.6 ms);
-        # this per-frame formulation measures faster than vpu2 in-context.
-        # I2V_TEMPORAL_IMPL overrides for layout experiments.
+        # The fused pallas kernel (full-C s-blocks, heads split in-kernel)
+        # replaces vpu2's five HBM transposes per call at the big sites:
+        # in-context full-step A/B (512px): pallas-everywhere 488.5 ms,
+        # vpu2 462.3, hybrid (pallas at s>=2048, mxu below) 458.8 — the
+        # in-kernel per-head relayouts lose at small s where the einsum
+        # path's materialized softmax is cheap.  Numerics: 3e-6 vs f64
+        # (the einsum path shows 1.5e-2 under DEFAULT matmul precision,
+        # identical under 'highest').  A whole-(F,G,D,S) broadcast kernel
+        # was the round-2 dead end (34.6 ms).  I2V_TEMPORAL_IMPL overrides.
         import os
 
         forced = os.environ.get("I2V_TEMPORAL_IMPL")
+        pallas_min = int(os.environ.get("I2V_TEMPORAL_PALLAS_MIN", "2048"))
         if forced:
             impl = forced
+        elif _on_tpu() and s >= pallas_min:
+            impl = "pallas"
         else:
             impl = "vpu2" if s >= 2048 else "mxu"
     if impl == "pallas":

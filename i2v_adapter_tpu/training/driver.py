@@ -68,6 +68,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")
     p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--optimizer", type=str, default="adamw",
+                   choices=["adamw", "adafactor"],
+                   help="adafactor = factored second moments (the 8-bit-"
+                        "Adam memory analogue, ref train_image_to_video.py"
+                        ":706-719)")
     p.add_argument("--adam_beta1", type=float, default=0.9)
     p.add_argument("--adam_beta2", type=float, default=0.999)
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
@@ -135,6 +140,7 @@ def args_to_train_config(args) -> TrainConfig:
             learning_rate=args.learning_rate,
             lr_scheduler=args.lr_scheduler,
             lr_warmup_steps=args.lr_warmup_steps,
+            optimizer=args.optimizer,
             adam_beta1=args.adam_beta1,
             adam_beta2=args.adam_beta2,
             adam_weight_decay=args.adam_weight_decay,

@@ -19,6 +19,7 @@ from typing import Any, Callable, Optional
 
 import flax.struct
 import jax
+import jax.numpy as jnp
 import optax
 from flax.traverse_util import flatten_dict, unflatten_dict
 
@@ -89,19 +90,34 @@ def make_lr_schedule(config: OptimizerConfig, total_steps: int):
 def make_optimizer(config: TrainConfig, total_steps: int) -> optax.GradientTransformation:
     """AdamW + global-norm clipping + grad accumulation (the reference's
     AdamW / clip_grad_norm / accelerator.accumulate stack,
-    /root/reference/src/train_image_to_video.py:706-731,785,880)."""
+    /root/reference/src/train_image_to_video.py:706-731,785,880).
+
+    ``optimizer='adafactor'`` selects factored second moments — the
+    memory-cheap analogue of the reference's optional bitsandbytes 8-bit
+    Adam (:706-719): optimizer state is O(rows+cols) per matrix instead of
+    two full param-sized moments."""
     oc = config.optimizer
     schedule = make_lr_schedule(oc, total_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(oc.max_grad_norm),
-        optax.adamw(
+    if oc.optimizer == "adafactor":
+        # momentum=None: the classic memory-cheap Adafactor — keeping
+        # momentum would re-add a param-sized buffer and defeat the point
+        inner = optax.adafactor(
+            schedule,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=None,
+            momentum=None,
+            weight_decay_rate=oc.adam_weight_decay,
+            eps=oc.adam_epsilon,
+        )
+    else:
+        inner = optax.adamw(
             schedule,
             b1=oc.adam_beta1,
             b2=oc.adam_beta2,
             eps=oc.adam_epsilon,
             weight_decay=oc.adam_weight_decay,
-        ),
-    )
+        )
+    tx = optax.chain(optax.clip_by_global_norm(oc.max_grad_norm), inner)
     if config.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
     return tx

@@ -156,3 +156,21 @@ def test_clip_vision_shape(rng):
     assert emb.shape == (2, CFG.image_encoder.projection_dim)
     emb2, hidden = enc.apply(params, img, output_hidden_state=True)
     assert hidden.shape == (2, 1 + 4, CFG.image_encoder.hidden_size)
+
+
+def test_fast_gelu_deviation_below_bf16(rng):
+    """The fast_gelu (tanh-approx GEGLU) serving default deviates from the
+    exact erf gelu by less than bf16 resolution, so bf16 serving outputs
+    are unchanged at the storage precision."""
+    from i2v_adapter_tpu.models.attention import FeedForward
+
+    x = jnp.asarray((rng.standard_normal((4, 64, 32)) * 3).astype(np.float32))
+    exact = FeedForward(dim=32)
+    params = exact.init(jax.random.PRNGKey(0), x)
+    y_exact = exact.apply(params, x)
+    y_tanh = FeedForward(dim=32, gelu_tanh=True).apply(params, x)
+    rel = np.max(
+        np.abs(np.asarray(y_tanh - y_exact))
+        / (np.abs(np.asarray(y_exact)) + 1.0)
+    )
+    assert rel < 2 ** -8, rel  # bf16 eps = 2**-8
