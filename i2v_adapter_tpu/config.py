@@ -267,11 +267,17 @@ class PipelineConfig(_ConfigBase):
 
 @dataclass(frozen=True)
 class MeshConfig(_ConfigBase):
-    """Device mesh layout. axis sizes of -1 mean 'all remaining devices'."""
+    """Device mesh layout. axis sizes of -1 mean 'all remaining devices'.
+
+    ``seq`` is sequence (frame-axis) parallelism: video frames shard over it
+    so conv/spatial-attention work stays frame-local while XLA inserts the
+    collectives for the frame-coupling ops (temporal attention, cross-frame
+    K/V, motion GroupNorm stats)."""
 
     data: int = -1
     fsdp: int = 1
     tensor: int = 1
+    seq: int = 1
 
 
 @dataclass(frozen=True)

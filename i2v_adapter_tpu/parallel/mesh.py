@@ -24,6 +24,7 @@ from i2v_adapter_tpu.config import MeshConfig
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
+SEQ_AXIS = "seq"
 
 
 def init_distributed(
@@ -44,11 +45,12 @@ def create_mesh(
     config: MeshConfig = MeshConfig(),
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tensor) mesh. Axis size -1 absorbs remaining
-    devices (like a reshape wildcard)."""
+    """Build a (data, fsdp, tensor, seq) mesh. Axis size -1 absorbs
+    remaining devices (like a reshape wildcard)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    sizes = [config.data, config.fsdp, config.tensor]
+    sizes = [config.data, config.fsdp, config.tensor,
+             getattr(config, "seq", 1)]
     known = int(np.prod([s for s in sizes if s != -1]))
     wild = [i for i, s in enumerate(sizes) if s == -1]
     if len(wild) > 1:
@@ -60,13 +62,21 @@ def create_mesh(
     if int(np.prod(sizes)) != n:
         raise ValueError(f"mesh {sizes} != {n} devices")
     arr = np.asarray(devices).reshape(sizes)
-    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS))
 
 
-def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard axis 0 (batch) over data+fsdp; everything else replicated."""
-    spec = P((DATA_AXIS, FSDP_AXIS), *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
+def batch_sharding(
+    mesh: Mesh, ndim: int, frame_axis: Optional[int] = None
+) -> NamedSharding:
+    """Shard axis 0 (batch) over data+fsdp; ``frame_axis`` (the F dim of
+    video tensors) additionally shards over the ``seq`` axis — sequence
+    parallelism, with XLA inserting the collectives for frame-coupling
+    ops.  Everything else replicated."""
+    dims = [None] * ndim
+    dims[0] = (DATA_AXIS, FSDP_AXIS)
+    if frame_axis is not None and SEQ_AXIS in mesh.shape:
+        dims[frame_axis] = SEQ_AXIS
+    return NamedSharding(mesh, P(*dims))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -252,12 +252,26 @@ def make_train_step(
 
     # ---- data-parallel pjit: batch sharded on (data, fsdp), params/opt
     # state fsdp-sharded when state_shardings is given (ZeRO analogue),
-    # else replicated/resolved from current placement ----
+    # else replicated/resolved from current placement.  pixel_values'
+    # frame dim additionally shards over the ``seq`` axis (sequence
+    # parallelism): conv/spatial work stays frame-local; XLA inserts the
+    # collectives for temporal attention / cross-frame K/V / motion
+    # GroupNorm stats ----
+    from i2v_adapter_tpu.parallel.mesh import SEQ_AXIS
+
     batch_spec = P((DATA_AXIS, FSDP_AXIS))
-    batch_shardings = jax.tree.map(
-        lambda _: NamedSharding(mesh, batch_spec),
-        {"pixel_values": 0, "text_ids": 0, "uncond_ids": 0, "clip_image": 0},
+    video_spec = (
+        P((DATA_AXIS, FSDP_AXIS), SEQ_AXIS)
+        if not is_t2i  # t2i pixel_values are (B,H,W,3): no frame dim
+        and SEQ_AXIS in mesh.shape and mesh.shape[SEQ_AXIS] > 1
+        else batch_spec
     )
+    batch_shardings = {
+        "pixel_values": NamedSharding(mesh, video_spec),
+        "text_ids": NamedSharding(mesh, batch_spec),
+        "uncond_ids": NamedSharding(mesh, batch_spec),
+        "clip_image": NamedSharding(mesh, batch_spec),
+    }
     in_shardings = (state_shardings, batch_shardings, NamedSharding(mesh, P()))
     out_shardings = (
         (state_shardings, NamedSharding(mesh, P()))

@@ -301,3 +301,59 @@ def test_adafactor_optimizer_state_is_factored(all_params):
         x.size for x in jax.tree.leaves(opt_state) if hasattr(x, "size")
     )
     assert n_opt < 256 * 512  # adamw stores 2 * 256*512
+
+
+def test_train_step_sequence_parallel_matches_replicated(all_params):
+    """Frame-axis sequence parallelism (seq mesh axis): a dp x sp sharded
+    step must agree with the replicated step — XLA's inserted collectives
+    (temporal attention, cross-frame K/V, motion GroupNorm stats) preserve
+    the math."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    unet_params, vae_params, text_params, img_params = all_params
+    tc = TrainConfig(
+        train_batch_size=4, num_frames=F, resolution=RES,
+        gradient_accumulation_steps=1, mixed_precision="none",
+        mesh=MeshConfig(data=-1, seq=2),
+    )
+    mesh = create_mesh(tc.mesh)
+    assert mesh.shape["seq"] == 2 and mesh.shape["data"] == 4
+    state, _ = create_train_state(
+        unet_params, tc, 10, vae_params, text_params, img_params
+    )
+    tx = make_optimizer(tc, 10)
+
+    ref_step = make_train_step(MC, tc, tx, donate=False)
+    r = np.random.default_rng(1)
+    batch = {
+        "pixel_values": r.standard_normal((4, F, RES, RES, 3)).astype(np.float32),
+        "text_ids": r.integers(0, 100, (4, 8)).astype(np.int32),
+        "uncond_ids": np.zeros((4, 8), np.int32),
+        "clip_image": r.standard_normal((4, IMG, IMG, 3)).astype(np.float32),
+    }
+    ref_state, ref_metrics = ref_step(state, batch, jax.random.PRNGKey(0))
+
+    step_fn = make_train_step(MC, tc, tx, mesh=mesh, donate=False)
+    with mesh:
+        dbatch = {
+            k: jax.device_put(
+                v,
+                batch_sharding(
+                    mesh, v.ndim,
+                    frame_axis=1 if k == "pixel_values" else None,
+                ),
+            )
+            for k, v in batch.items()
+        }
+        # frames really are split over the seq axis
+        pv = dbatch["pixel_values"]
+        assert pv.addressable_shards[0].data.shape[1] == F // 2
+        state2, metrics = step_fn(state, dbatch, jax.random.PRNGKey(0))
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.tree.map(np.asarray, state2.trainable), ref_state.trainable,
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4
