@@ -143,6 +143,7 @@ def _flash_kernel(
 def _flash_kernel_t(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     *, kv_len: int, block_kv: int, out_t: bool = False,
+    static_max: float = 0.0,
 ):
     """Transposed-input variant: q/k/v arrive as (1, Dp, block) — the layout
     the projection matmuls already produce on TPU ((B,H,D,N) row-major is
@@ -169,24 +170,43 @@ def _flash_kernel_t(
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
         s = jnp.where(col < kv_len, s, -1e30)
 
-    m_prev = m_scratch[:]
-    l_prev = l_scratch[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s - m_new[:, :1])
-    l_new = alpha * l_prev + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
-    )
+    if static_max:
+        # Static-offset softmax: exp2(s - C) with a compile-time C instead
+        # of the per-row running max.  Exact for log2-scores in
+        # [C-110, C+127] (fp32 exponent range with the 4096-term sum) —
+        # LayerNormed activations keep |s| well inside that; serving
+        # numerics match the exact path (tested).  Removes the full
+        # (block_q, block_kv) max pass AND the online rescale machinery —
+        # the kernel is VPU-softmax-bound, so one fewer pass is ~20%.
+        p = jnp.exp2(s - static_max)
+        l_new = l_scratch[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_scratch.shape
+        )
+        l_scratch[:] = l_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:] = acc_scratch[:] + pv
+    else:
+        m_prev = m_scratch[:]
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, :1])
+        l_new = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
 
-    m_scratch[:] = m_new
-    l_scratch[:] = l_new
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, d_pad)
-    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + pv
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, d_pad)
+        acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + pv
 
     @pl.when(j == num_kv - 1)
     def _finalize():
@@ -209,6 +229,7 @@ def _flash_forward_t(
     block_kv: int,
     interpret: bool = False,
     transposed_out: bool = False,
+    static_max: float = 0.0,
 ) -> jnp.ndarray:
     bh, dp, nq_pad = q3.shape
     _, _, nk_pad = k3.shape
@@ -229,7 +250,7 @@ def _flash_forward_t(
 
     kernel = functools.partial(
         _flash_kernel_t, kv_len=kv_len, block_kv=block_kv,
-        out_t=transposed_out,
+        out_t=transposed_out, static_max=static_max,
     )
     if transposed_out:
         out_spec = pl.BlockSpec((1, dp, block_q), o_index_t, memory_space=pltpu.VMEM)
@@ -332,8 +353,14 @@ def flash_attention(
     interpret: bool = False,
     transposed_io: bool = True,
     transposed_out: bool = False,
+    static_max: float = 0.0,
 ) -> jnp.ndarray:
-    """Pallas fused attention. Shapes as in module docstring."""
+    """Pallas fused attention. Shapes as in module docstring.
+
+    ``static_max`` (transposed_io only): replace the per-row running max
+    with a compile-time log2-space offset — exact within the fp32/bf16
+    exponent range (see _flash_kernel_t); cuts one full VPU pass over the
+    scores."""
     bq, nq, h, d = q.shape
     bkv, nk, hk, dk = k.shape
     assert (h, d) == (hk, dk) and v.shape == k.shape
@@ -372,7 +399,7 @@ def flash_attention(
             to3t(q, nq_pad), to3t(k, nk_pad), to3t(v, nk_pad),
             heads=h, kv_repeat=kv_repeat, kv_len=nk,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
-            transposed_out=transposed_out,
+            transposed_out=transposed_out, static_max=static_max,
         )
         if transposed_out:
             # (BH, D, N) -> (B, Nq, H, D); N-minor stays physical, so the
@@ -414,6 +441,11 @@ def _attention_pallas(q, k, v, kv_repeat, scale, interpret):
         q, k, v, kv_repeat=kv_repeat, scale=scale,
         block_q=512, block_kv=4096, interpret=interpret,
         transposed_out=os.environ.get("I2V_FLASH_OUT_T", "1") == "1",
+        # Default ON: exact for raw attention logits in ~(-48, +132) — far
+        # beyond observed ranges, and the self-attention q.q diagonal bounds
+        # the underflow side.  I2V_FLASH_STATIC_MAX=0 restores the per-row
+        # running max (unbounded logits).
+        static_max=float(os.environ.get("I2V_FLASH_STATIC_MAX", "64")),
     )
 
 
@@ -521,8 +553,12 @@ def _temporal_flash(
         # blocks span the full channel dim, so scale the s-block down as C
         # grows to stay inside the 16 MB scoped-VMEM limit (at C=320,
         # block_s 256/128 measured 24.0/19.2 MB: 3 double-buffered inputs
-        # + per-head staging; 64 fits).
-        block_s = max(8, 64 * 320 // c)
+        # + per-head staging; 64 fits).  I2V_TEMPORAL_BLOCK_S overrides the
+        # C=320 base (use with --xla_tpu_scoped_vmem_limit_kib).
+        import os
+
+        base = int(os.environ.get("I2V_TEMPORAL_BLOCK_S", "64"))
+        block_s = max(8, base * 320 // c)
     block_s = min(block_s, s)
     if s % block_s != 0:  # spatial sites are powers of two; be safe
         block_s = math.gcd(s, block_s)

@@ -71,6 +71,23 @@ def test_pallas_interpret_matches_xla(rng, bq, bkv, nq, nk, h, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_flash_static_max_matches_exact(rng):
+    """Static-offset softmax (exp2(s - C), no per-row max pass) is exact
+    within the fp32/bf16 exponent range — typical attention logits sit far
+    inside it, and self-attention's q.q diagonal bounds the underflow side."""
+    q = rng.standard_normal((4, 96, 2, 8)).astype(np.float32)
+    k = rng.standard_normal((2, 64, 2, 8)).astype(np.float32)
+    v = rng.standard_normal((2, 64, 2, 8)).astype(np.float32)
+    ref = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        kv_repeat=2)
+    got = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_repeat=2,
+        block_q=32, block_kv=32, interpret=True, static_max=64.0,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_custom_vjp_backward_matches_autodiff(rng):
     q = rng.standard_normal((4, 8, 2, 8)).astype(np.float32)
     kv = rng.standard_normal((2, 8, 2, 8)).astype(np.float32)
