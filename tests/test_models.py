@@ -174,3 +174,39 @@ def test_fast_gelu_deviation_below_bf16(rng):
         / (np.abs(np.asarray(y_exact)) + 1.0)
     )
     assert rel < 2 ** -8, rel  # bf16 eps = 2**-8
+
+
+def test_serving_numerics_unet_psnr(rng):
+    """Model-level quality check for the serving-mode numerics deviation
+    (fast_gelu; the kernel softmax changes are exactness-tested in
+    test_ops_attention): the full tiny VideoUNet's output with fast_gelu on
+    vs the exact erf path stays above 60 dB PSNR in fp32 — far beyond the
+    35 dB acceptance bar of BASELINE.md."""
+    from i2v_adapter_tpu.tools.parity import psnr
+
+    cfg_exact = CFG.unet  # tiny_test_config pins fast_gelu=False
+    cfg_serving = cfg_exact.replace(fast_gelu=True)
+    unet_e = VideoUNet(cfg_exact)
+    unet_s = VideoUNet(cfg_serving)
+    b, f, lat = 1, 4, 8
+    sample = jnp.asarray(
+        rng.standard_normal((b, f, lat, lat, 4)).astype(np.float32)
+    )
+    text = jnp.asarray(
+        rng.standard_normal((b, 8, cfg_exact.cross_attention_dim)).astype(
+            np.float32
+        )
+    )
+    img = jnp.asarray(
+        rng.standard_normal((b, cfg_exact.image_embed_dim)).astype(np.float32)
+    )
+    params = unet_e.init(
+        jax.random.PRNGKey(0), sample, jnp.zeros((b,)), text, img,
+        enable_cross_frame_attn=True,
+    )
+    out_e = unet_e.apply(params, sample, jnp.zeros((b,)), text, img,
+                         enable_cross_frame_attn=True)
+    out_s = unet_s.apply(params, sample, jnp.zeros((b,)), text, img,
+                         enable_cross_frame_attn=True)
+    db = psnr(np.asarray(out_e), np.asarray(out_s))
+    assert db > 60.0, db
