@@ -530,10 +530,12 @@ def _temporal_kernel4(
         outs = []
         for f in range(frames):
             s = jnp.sum(qT[f][None] * kT, axis=1)  # (G, bs), log2-space
-            # static offset instead of per-frame max — same argument as the
-            # flash kernel (exact within the fp32 exponent range; the q.q
-            # diagonal bounds the underflow side)
-            p = jnp.exp2(s - 64.0)
+            # per-frame max kept: the static-offset trick (see the flash
+            # kernel) trips a Mosaic relayout bug here ("non-singleton
+            # logical dimension is replicated in destination"), and the
+            # (G, bs) sublane max is cheap anyway
+            m = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp2(s - m)
             p = p / jnp.sum(p, axis=0, keepdims=True)
             o_f = jnp.sum(p[:, None, :] * vT, axis=0)  # (d, bs)
             # cast per frame: keeps the staged head outputs at bf16 (the

@@ -36,10 +36,13 @@ def build_step(cfg: VideoUNetConfig, frames: int = 16, lat: int = 64,
     unet = VideoUNet(cfg, dtype=dtype)
     b = 2  # CFG-doubled single clip
     sample = jnp.zeros((b, frames, lat, lat, 4), dtype)
-    text = jnp.zeros((b, 77 + (4 if cfg.use_ip_adapter else 0), 768), dtype)
+    text = jnp.zeros((b, 77, 768), dtype)
+    img = (
+        jnp.zeros((b, 1024), dtype) if cfg.use_ip_adapter else None
+    )
     shapes = jax.eval_shape(
         lambda: unet.init(
-            jax.random.PRNGKey(0), sample, jnp.zeros((b,)), text, None,
+            jax.random.PRNGKey(0), sample, jnp.zeros((b,)), text, img,
             enable_cross_frame_attn=cfg.use_i2v_adapter,
         )
     )
@@ -53,7 +56,7 @@ def build_step(cfg: VideoUNetConfig, frames: int = 16, lat: int = 64,
     def run(params, x0):
         def step(x, _):
             out = unet.apply(
-                params, x, jnp.zeros((b,)), text, None,
+                params, x, jnp.zeros((b,)), text, img,
                 enable_cross_frame_attn=cfg.use_i2v_adapter,
             )
             return out.astype(x.dtype), None
@@ -200,6 +203,8 @@ def main():
     ap.add_argument("--keep", action="store_true", help="keep trace dir")
     ap.add_argument("--pipeline", action="store_true",
                     help="trace a whole-clip sampler dispatch instead")
+    ap.add_argument("--ip", action="store_true",
+                    help="include the IP-Adapter branch (bench workload)")
     args = ap.parse_args()
 
     if args.pipeline:
@@ -219,7 +224,7 @@ def main():
             shutil.rmtree(trace_dir, ignore_errors=True)
         return
 
-    cfg = VideoUNetConfig().replace(use_ip_adapter=False)
+    cfg = VideoUNetConfig().replace(use_ip_adapter=args.ip)
     f, params, x0 = build_step(cfg, n_steps=args.steps)
     out = f(params, x0)
     jax.block_until_ready(out)  # compile outside the trace
