@@ -442,9 +442,12 @@ def _attention_pallas(q, k, v, kv_repeat, scale, interpret):
         block_q=512, block_kv=4096, interpret=interpret,
         transposed_out=os.environ.get("I2V_FLASH_OUT_T", "1") == "1",
         # Default ON: exact for raw attention logits in ~(-48, +132) — far
-        # beyond observed ranges, and the self-attention q.q diagonal bounds
-        # the underflow side.  I2V_FLASH_STATIC_MAX=0 restores the per-row
-        # running max (unbounded logits).
+        # beyond observed ranges.  attn1's q.q diagonal bounds the
+        # underflow side; the cross-frame site has no diagonal, but a
+        # fully-underflowed row needs every first-frame logit < -48.  Out
+        # of range the row goes NaN (not silently wrong): training's
+        # non-finite skip-guard catches it, and I2V_FLASH_STATIC_MAX=0
+        # restores the per-row running max for unbounded logits.
         static_max=float(os.environ.get("I2V_FLASH_STATIC_MAX", "64")),
     )
 
@@ -596,18 +599,23 @@ def _temporal_pallas(q, k, v, heads, interpret):
 
 
 def _temporal_ref_mxu(q, k, v, heads):
-    """XLA einsum reference used for the pallas backward."""
+    """XLA einsum reference used for the pallas backward.  HIGHEST matmul
+    precision: DEFAULT lowers fp32 einsums through bf16 passes (~1.5e-2 max
+    err measured at d=40) — the gradient would otherwise carry the exact
+    precision loss the forward kernel avoids."""
     b, f, s, c = q.shape
     d = c // heads
     qh = q.reshape(b, f, s, heads, d)
     kh = k.reshape(b, f, s, heads, d)
     vh = v.reshape(b, f, s, heads, d)
     scores = jnp.einsum(
-        "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32
+        "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / math.sqrt(d)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum(
-        "bshfg,bgshd->bfshd", probs, vh, preferred_element_type=jnp.float32
+        "bshfg,bgshd->bfshd", probs, vh, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(b, f, s, c).astype(q.dtype)
 

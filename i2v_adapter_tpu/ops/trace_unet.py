@@ -30,6 +30,16 @@ from i2v_adapter_tpu.config import VideoUNetConfig
 from i2v_adapter_tpu.models import VideoUNet
 
 
+def _bf16_zeros(shapes):
+    """Zero param tree with fp32 leaves stored bf16 (serving storage)."""
+    return jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        ),
+        shapes,
+    )
+
+
 def build_step(cfg: VideoUNetConfig, frames: int = 16, lat: int = 64,
                n_steps: int = 4):
     dtype = jnp.bfloat16
@@ -46,12 +56,7 @@ def build_step(cfg: VideoUNetConfig, frames: int = 16, lat: int = 64,
             enable_cross_frame_attn=cfg.use_i2v_adapter,
         )
     )
-    params = jax.tree.map(
-        lambda s: jnp.zeros(
-            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
-        ),
-        shapes,
-    )
+    params = _bf16_zeros(shapes)
 
     def run(params, x0):
         def step(x, _):
@@ -74,7 +79,7 @@ def categorize(name: str) -> str:
         return "parent (excluded)"
     if n.startswith(("attn", "i2v_adapter", "custom-call")) or "mosaic" in n:
         return "custom-call (pallas)"
-    if n.startswith(("copy", "transpose")) or "transpose" in n:
+    if n.startswith("copy") or "transpose" in n:
         return "copy/transpose"
     if "convolution" in n:
         return "conv"
@@ -89,10 +94,11 @@ def categorize(name: str) -> str:
     return "other"
 
 
-def parse_trace(trace_dir: str, n_steps: int):
+def parse_trace(trace_dir: str):
     """Aggregate device-lane op durations from the xplane-exported
     chrome trace.  Returns (per-op Counter, per-source-line Counter,
-    per-source op-kind breakdown)."""
+    per-source op-kind breakdown); per-step normalization happens in
+    report()."""
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -164,12 +170,7 @@ def build_pipeline_call(steps: int = 3, height: int = 512):
 
     rng = jax.random.PRNGKey(0)
     lat = height // model_config.vae.spatial_scale_factor
-    bf16_tree = lambda shapes: jax.tree.map(
-        lambda s: jnp.zeros(
-            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
-        ),
-        shapes,
-    )
+    bf16_tree = _bf16_zeros
     params = {
         "unet": bf16_tree(jax.eval_shape(lambda: pipe.unet.init(
             rng, jnp.zeros((2, 16, lat, lat, 4), dtype), jnp.zeros((2,)),
@@ -245,7 +246,7 @@ def main():
 
 
 def report(trace_dir: str, steps: int, top: int):
-    op_time, src_time, src_ops = parse_trace(trace_dir, steps)
+    op_time, src_time, src_ops = parse_trace(trace_dir)
     cats = collections.Counter()
     for name, dur in op_time.items():
         cats[categorize(name)] += dur

@@ -72,7 +72,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["adamw", "adafactor"],
                    help="adafactor = factored second moments (the 8-bit-"
                         "Adam memory analogue, ref train_image_to_video.py"
-                        ":706-719)")
+                        ":706-719); runs classic Adafactor — adam_beta*/"
+                        "weight_decay/epsilon are ignored in this mode")
     p.add_argument("--adam_beta1", type=float, default=0.9)
     p.add_argument("--adam_beta2", type=float, default=0.999)
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
@@ -106,6 +107,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--data_fsdp", type=int, default=1,
                    help="fsdp axis size of the mesh (ZeRO-style sharding)")
+    p.add_argument("--seq_parallel", type=int, default=1,
+                   help="seq axis size: video frames shard over it "
+                        "(sequence parallelism; num_frames must divide)")
     p.add_argument("--validation_epoch", type=int, default=0,
                    help="sample eval GIFs every N epochs (0 = off)")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -148,7 +152,7 @@ def args_to_train_config(args) -> TrainConfig:
             max_grad_norm=args.max_grad_norm,
             scale_lr=args.scale_lr,
         ),
-        mesh=MeshConfig(data=-1, fsdp=args.data_fsdp),
+        mesh=MeshConfig(data=-1, fsdp=args.data_fsdp, seq=args.seq_parallel),
         checkpoint_epoch=args.checkpoint_epoch,
         checkpoints_total_limit=args.checkpoints_total_limit,
     )
@@ -245,15 +249,24 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
             logger.info("restored full train state at step %s", at_step)
     tx = make_optimizer(tc, total_steps)
     n_dev = jax.device_count()
-    if n_dev > 1 and tc.train_batch_size % n_dev == 0:
-        mesh = create_mesh(tc.mesh)
-    else:
-        if n_dev > 1:
+    mesh = None
+    if n_dev > 1:
+        from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, SEQ_AXIS
+
+        candidate = create_mesh(tc.mesh)
+        batch_ways = candidate.shape[DATA_AXIS] * candidate.shape[FSDP_AXIS]
+        seq_ways = candidate.shape[SEQ_AXIS]
+        if (
+            tc.train_batch_size % batch_ways == 0
+            and (tc.train_mode == "t2i" or tc.num_frames % seq_ways == 0)
+        ):
+            mesh = candidate
+        else:
             logger.warning(
-                "batch %d not divisible by %d devices; running single-device",
-                tc.train_batch_size, n_dev,
+                "batch %d / frames %d not divisible by mesh (data*fsdp=%d, "
+                "seq=%d); running single-device",
+                tc.train_batch_size, tc.num_frames, batch_ways, seq_ways,
             )
-        mesh = None
     state_shardings = None
     if mesh is not None:
         # materialize the ZeRO-style placement: large params/opt-state leaves
@@ -279,8 +292,17 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
     def put(batch):
         if mesh is None:
             return batch
+        # pixel_values' frame dim rides the seq axis in video mode — must
+        # match make_train_step's in_shardings or every step reshards
+        video = tc.train_mode != "t2i"
         return {
-            k: jax.device_put(v, batch_sharding(mesh, np.asarray(v).ndim))
+            k: jax.device_put(
+                v,
+                batch_sharding(
+                    mesh, np.asarray(v).ndim,
+                    frame_axis=1 if (video and k == "pixel_values") else None,
+                ),
+            )
             for k, v in batch.items()
         }
 

@@ -99,15 +99,20 @@ def make_optimizer(config: TrainConfig, total_steps: int) -> optax.GradientTrans
     oc = config.optimizer
     schedule = make_lr_schedule(oc, total_steps)
     if oc.optimizer == "adafactor":
-        # momentum=None: the classic memory-cheap Adafactor — keeping
-        # momentum would re-add a param-sized buffer and defeat the point
+        # Classic memory-cheap Adafactor: momentum=None (momentum would
+        # re-add a param-sized buffer and defeat the point) and NO weight
+        # decay — optax.adafactor's weight_decay_rate is applied per step
+        # UNSCALED by the learning rate (p -= rate*p each step), so passing
+        # adam_weight_decay (1e-2) would shrink weights ~1%/step, ~1e4x
+        # stronger than AdamW's lr*wd.  Adam's epsilon is also the wrong
+        # unit here (Adafactor adds eps to the raw second moment, default
+        # 1e-30, not to its sqrt), so the optax default is kept.
         inner = optax.adafactor(
             schedule,
             multiply_by_parameter_scale=False,
             clipping_threshold=None,
             momentum=None,
-            weight_decay_rate=oc.adam_weight_decay,
-            eps=oc.adam_epsilon,
+            weight_decay_rate=None,
         )
     else:
         inner = optax.adamw(

@@ -38,7 +38,6 @@ from i2v_adapter_tpu.models import (
     CLIPVisionEncoder,
     VideoUNet,
 )
-from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
 from i2v_adapter_tpu.schedulers import add_noise, compute_snr, get_velocity, make_schedule
 from i2v_adapter_tpu.training.state import TrainState, ema_update, merge_params
 
@@ -256,21 +255,18 @@ def make_train_step(
     # frame dim additionally shards over the ``seq`` axis (sequence
     # parallelism): conv/spatial work stays frame-local; XLA inserts the
     # collectives for temporal attention / cross-frame K/V / motion
-    # GroupNorm stats ----
-    from i2v_adapter_tpu.parallel.mesh import SEQ_AXIS
+    # GroupNorm stats.  batch_sharding is the single source of truth for
+    # these specs — driver.put() and __graft_entry__ use the same call ----
+    from i2v_adapter_tpu.parallel.mesh import batch_sharding
 
-    batch_spec = P((DATA_AXIS, FSDP_AXIS))
-    video_spec = (
-        P((DATA_AXIS, FSDP_AXIS), SEQ_AXIS)
-        if not is_t2i  # t2i pixel_values are (B,H,W,3): no frame dim
-        and SEQ_AXIS in mesh.shape and mesh.shape[SEQ_AXIS] > 1
-        else batch_spec
-    )
     batch_shardings = {
-        "pixel_values": NamedSharding(mesh, video_spec),
-        "text_ids": NamedSharding(mesh, batch_spec),
-        "uncond_ids": NamedSharding(mesh, batch_spec),
-        "clip_image": NamedSharding(mesh, batch_spec),
+        # t2i pixel_values are (B,H,W,3): no frame dim
+        "pixel_values": batch_sharding(
+            mesh, 4 if is_t2i else 5, frame_axis=None if is_t2i else 1
+        ),
+        "text_ids": batch_sharding(mesh, 2),
+        "uncond_ids": batch_sharding(mesh, 2),
+        "clip_image": batch_sharding(mesh, 4),
     }
     in_shardings = (state_shardings, batch_shardings, NamedSharding(mesh, P()))
     out_shardings = (
