@@ -119,6 +119,15 @@ class VideoUNetConfig(_ConfigBase):
     # Rematerialization (gradient checkpointing) of heavy blocks under jit.
     remat: bool = False
     flash_attention: bool = True
+    # Compile-time log2-space softmax offset in the pallas flash kernel:
+    # replaces the per-row running max (one full VPU pass over the scores,
+    # ~24 ms/step at 512px).  Exact for raw attention logits in ~(-48,+132);
+    # out-of-range rows go NaN (never silently wrong) — training's
+    # non-finite skip-guard and the pipeline's host-side finite check both
+    # surface it.  0.0 restores the exact per-row max.  Recorded here (not
+    # just the I2V_FLASH_STATIC_MAX env var) so checkpoints/config JSON
+    # capture the numerics mode.
+    flash_static_max: float = 64.0
     # tanh-approximate gelu in the GEGLU feed-forwards.  Deviation from the
     # torch reference's erf gelu is ~1e-3 relative — below bf16 resolution —
     # and the erf transcendentals dominate the FF epilogue on the VPU

@@ -24,6 +24,29 @@ import jax.numpy as jnp
 from i2v_adapter_tpu.ops.attention import dot_product_attention
 
 
+class _ProjKernel(nn.Module):
+    """Bias-free projection kernel declared under the SAME param path as
+    ``nn.Dense(name=...)`` (``<name>/kernel``, lecun-normal init) but
+    returned as a weight so call sites can concatenate several projections
+    into one matmul (I2V_FUSE_QKV): 3x (N,320)@(320,320) -> (N,320)@(320,960)
+    keeps the MXU busy on one wide pass instead of three narrow ones."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+
+
+def _fuse_qkv_enabled() -> bool:
+    import os
+
+    return os.environ.get("I2V_FUSE_QKV", "0") == "1"
+
+
 class Attention(nn.Module):
     """Multi-head attention with the diffusers projection layout
     (to_q/to_k/to_v without bias, to_out with bias)."""
@@ -33,6 +56,9 @@ class Attention(nn.Module):
     out_dim: Optional[int] = None  # defaults to heads * dim_head
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # pallas static-offset softmax (VideoUNetConfig.flash_static_max);
+    # None falls back to the env-var default inside ops.attention.
+    static_max: Optional[float] = None
     # IP-Adapter branch: extra K/V projections applied to the trailing
     # ``ip_num_tokens`` tokens of encoder_hidden_states.
     ip_num_tokens: int = 0
@@ -51,23 +77,46 @@ class Attention(nn.Module):
             hidden_states if encoder_hidden_states is None else encoder_hidden_states
         )
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
-            hidden_states
-        )
-
         if self.ip_num_tokens > 0:
             text_ctx = ctx[:, : ctx.shape[1] - self.ip_num_tokens]
             ip_ctx = ctx[:, ctx.shape[1] - self.ip_num_tokens :]
         else:
             text_ctx, ip_ctx = ctx, None
 
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(text_ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(text_ctx)
+        if _fuse_qkv_enabled():
+            cq = hidden_states.shape[-1]
+            ck = text_ctx.shape[-1]
+            wq = _ProjKernel(inner, name="to_q")(cq)
+            wk = _ProjKernel(inner, name="to_k")(ck)
+            wv = _ProjKernel(inner, name="to_v")(ck)
+            if encoder_hidden_states is None and ip_ctx is None:
+                # self-attention: one (N, C) @ (C, 3*inner) matmul
+                qkv = hidden_states.astype(self.dtype) @ jnp.concatenate(
+                    [wq, wk, wv], axis=1
+                ).astype(self.dtype)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = hidden_states.astype(self.dtype) @ wq.astype(self.dtype)
+                kv = text_ctx.astype(self.dtype) @ jnp.concatenate(
+                    [wk, wv], axis=1
+                ).astype(self.dtype)
+                k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+                hidden_states
+            )
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
+                text_ctx
+            )
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
+                text_ctx
+            )
 
         bq, nq, _ = q.shape
         split = lambda x: x.reshape(x.shape[0], x.shape[1], self.heads, self.dim_head)
         out = dot_product_attention(
-            split(q), split(k), split(v), kv_repeat=kv_repeat, impl=self.attn_impl
+            split(q), split(k), split(v), kv_repeat=kv_repeat,
+            impl=self.attn_impl, static_max=self.static_max,
         )
         out = out.reshape(bq, nq, inner)
 
@@ -80,7 +129,7 @@ class Attention(nn.Module):
             )
             ip_out = dot_product_attention(
                 split(q), split(k_ip), split(v_ip), kv_repeat=kv_repeat,
-                impl=self.attn_impl,
+                impl=self.attn_impl, static_max=self.static_max,
             )
             out = out + self.ip_scale * ip_out.reshape(bq, nq, inner)
 
@@ -128,6 +177,7 @@ class TransformerBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    static_max: Optional[float] = None
     gelu_tanh: bool = False
 
     @nn.compact
@@ -146,13 +196,14 @@ class TransformerBlock(nn.Module):
         norm_h = ln("norm1")(hidden_states)
         attn_out = Attention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn1",
+            attn_impl=self.attn_impl, static_max=self.static_max, name="attn1",
         )(norm_h)
 
         if self.use_i2v_adapter:
             adapter = Attention(
                 heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-                attn_impl=self.attn_impl, name="i2v_adapter",
+                attn_impl=self.attn_impl, static_max=self.static_max,
+                name="i2v_adapter",
             )
             if enable_cross_frame_attn:
                 bf = hidden_states.shape[0]
@@ -178,7 +229,8 @@ class TransformerBlock(nn.Module):
         norm_h = ln("norm2")(hidden_states)
         attn_out = Attention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-            attn_impl=self.attn_impl, ip_num_tokens=self.ip_num_tokens,
+            attn_impl=self.attn_impl, static_max=self.static_max,
+            ip_num_tokens=self.ip_num_tokens,
             ip_scale=self.ip_scale, name="attn2",
         )(norm_h, encoder_hidden_states=encoder_hidden_states)
         hidden_states = hidden_states + attn_out
@@ -205,6 +257,7 @@ class SpatialTransformer(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    static_max: Optional[float] = None
     gelu_tanh: bool = False
 
     @nn.compact
@@ -235,7 +288,7 @@ class SpatialTransformer(nn.Module):
                 use_i2v_adapter=self.use_i2v_adapter,
                 ip_num_tokens=self.ip_num_tokens, ip_scale=self.ip_scale,
                 dtype=self.dtype, attn_impl=self.attn_impl,
-                gelu_tanh=self.gelu_tanh,
+                static_max=self.static_max, gelu_tanh=self.gelu_tanh,
                 name=f"transformer_blocks_{i}",
             )(
                 x, encoder_hidden_states,

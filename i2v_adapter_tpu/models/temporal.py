@@ -42,14 +42,31 @@ class TemporalSelfAttention(nn.Module):
     heads: int
     dim_head: int
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        out = temporal_attention(q, k, v, heads=self.heads)
+        from i2v_adapter_tpu.models.attention import (
+            _fuse_qkv_enabled,
+            _ProjKernel,
+        )
+
+        if _fuse_qkv_enabled():
+            c = x.shape[-1]
+            w = jnp.concatenate(
+                [
+                    _ProjKernel(inner, name=n)(c)
+                    for n in ("to_q", "to_k", "to_v")
+                ],
+                axis=1,
+            ).astype(self.dtype)
+            q, k, v = jnp.split(x.astype(self.dtype) @ w, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        out = temporal_attention(q, k, v, heads=self.heads, impl=self.attn_impl)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 
@@ -65,6 +82,7 @@ class TemporalBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     gelu_tanh: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -83,13 +101,13 @@ class TemporalBlock(nn.Module):
         norm_h = ln("norm1")(x) + pe
         x = x + TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-            name="attn1",
+            attn_impl=self.attn_impl, name="attn1",
         )(norm_h)
 
         norm_h = ln("norm2")(x) + pe
         x = x + TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
-            name="attn2",
+            attn_impl=self.attn_impl, name="attn2",
         )(norm_h)
 
         norm_h = ln("norm3")(x)
@@ -108,7 +126,7 @@ class TemporalTransformer(nn.Module):
     max_seq_length: int = 32
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "auto"  # kept for config compatibility; ops dispatcher
+    attn_impl: str = "auto"  # 'xla' disables the custom Pallas kernels
     gelu_tanh: bool = False
 
     @nn.compact
@@ -134,7 +152,7 @@ class TemporalTransformer(nn.Module):
             tokens = TemporalBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 max_seq_length=self.max_seq_length, dtype=self.dtype,
-                gelu_tanh=self.gelu_tanh,
+                gelu_tanh=self.gelu_tanh, attn_impl=self.attn_impl,
                 name=f"transformer_blocks_{i}",
             )(tokens)
 

@@ -201,6 +201,7 @@ class DownBlock(nn.Module):
                     ip_scale=cfg.ip_scale, gelu_tanh=cfg.fast_gelu,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     attn_impl="auto" if cfg.flash_attention else "xla",
+                    static_max=cfg.flash_static_max,
                     name=f"attentions_{i}",
                 )(
                     x, encoder_hidden_states,
@@ -274,6 +275,7 @@ class UpBlock(nn.Module):
                     ip_scale=cfg.ip_scale, gelu_tanh=cfg.fast_gelu,
                     groups=cfg.norm_num_groups, dtype=self.dtype,
                     attn_impl="auto" if cfg.flash_attention else "xla",
+                    static_max=cfg.flash_static_max,
                     name=f"attentions_{i}",
                 )(
                     x, encoder_hidden_states,
@@ -331,6 +333,7 @@ class MidBlock(nn.Module):
                 ip_scale=cfg.ip_scale, gelu_tanh=cfg.fast_gelu,
                 groups=cfg.norm_num_groups, dtype=self.dtype,
                 attn_impl="auto" if cfg.flash_attention else "xla",
+                static_max=cfg.flash_static_max,
                 name=f"attentions_{i}",
             )(
                 x, encoder_hidden_states,

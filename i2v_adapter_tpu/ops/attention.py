@@ -429,35 +429,42 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attention_pallas(q, k, v, kv_repeat, scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attention_pallas(q, k, v, kv_repeat, scale, interpret, static_max=None):
     # Block sweep on v5e (512px 4096-token sites, round 2): (512, 4096)
     # 12.3 ms vs (512, 1024) 14.9 ms — the whole K/V fits VMEM so the
     # online-softmax runs single-pass per q block.  _pick_block caps the
     # kv block at nk for shorter sites.
     import os
 
+    if static_max is None:
+        # legacy env-var default for call sites that don't thread the
+        # config field (VideoUNetConfig.flash_static_max is the recorded,
+        # per-model source of truth; the env var remains an emergency
+        # override for ad-hoc scripts)
+        static_max = float(os.environ.get("I2V_FLASH_STATIC_MAX", "64"))
     return flash_attention(
         q, k, v, kv_repeat=kv_repeat, scale=scale,
         block_q=512, block_kv=4096, interpret=interpret,
         transposed_out=os.environ.get("I2V_FLASH_OUT_T", "1") == "1",
-        # Default ON: exact for raw attention logits in ~(-48, +132) — far
-        # beyond observed ranges.  attn1's q.q diagonal bounds the
+        # static_max > 0: exact for raw attention logits in ~(-48, +132) —
+        # far beyond observed ranges.  attn1's q.q diagonal bounds the
         # underflow side; the cross-frame site has no diagonal, but a
         # fully-underflowed row needs every first-frame logit < -48.  Out
         # of range the row goes NaN (not silently wrong): training's
-        # non-finite skip-guard catches it, and I2V_FLASH_STATIC_MAX=0
-        # restores the per-row running max for unbounded logits.
-        static_max=float(os.environ.get("I2V_FLASH_STATIC_MAX", "64")),
+        # non-finite skip-guard catches it, the pipeline's host-side
+        # finite check names the knob, and static_max=0 restores the
+        # per-row running max for unbounded logits.
+        static_max=static_max,
     )
 
 
-def _attention_fwd(q, k, v, kv_repeat, scale, interpret):
-    out = _attention_pallas(q, k, v, kv_repeat, scale, interpret)
+def _attention_fwd(q, k, v, kv_repeat, scale, interpret, static_max):
+    out = _attention_pallas(q, k, v, kv_repeat, scale, interpret, static_max)
     return out, (q, k, v)
 
 
-def _attention_bwd(kv_repeat, scale, interpret, res, g):
+def _attention_bwd(kv_repeat, scale, interpret, static_max, res, g):
     # XLA backward, chunked over heads: the recomputed probs are
     # (bkv, rep, nq, nk) fp32 per head — materializing all heads at once
     # OOMs at training shapes (e.g. 8 x 128 MB x several sites live).
@@ -515,11 +522,17 @@ def _temporal_kernel4(
 
     The per-query-frame Python loop keeps intermediates at (G, d, block_s)
     — a whole-(F,G,d,S) broadcast product was the round-2 dead end that
-    made Mosaic serialize (34.6 ms vs 2.3 ms at the top site)."""
+    made Mosaic serialize (34.6 ms vs 2.3 ms at the top site).
+
+    ``q_ref`` may carry FEWER frames than k/v (``frames`` counts K/V
+    frames): the SPMD path shards query frames across the ``seq`` mesh axis
+    and all-gathers only K/V, so each device computes its local F/S query
+    frames against the full frame axis."""
     c = q_ref.shape[-1]
     d = c // heads
-    q = q_ref[0]  # (F, bs, C)
-    k = k_ref[0]
+    frames_q = q_ref.shape[1]
+    q = q_ref[0]  # (Fq, bs, C)
+    k = k_ref[0]  # (F, bs, C)
     v = v_ref[0]
     out_heads = []
     for h in range(heads):
@@ -531,7 +544,7 @@ def _temporal_kernel4(
         kT = jnp.transpose(k[..., sl], (0, 2, 1)).astype(jnp.float32)
         vT = jnp.transpose(v[..., sl], (0, 2, 1)).astype(jnp.float32)
         outs = []
-        for f in range(frames):
+        for f in range(frames_q):
             s = jnp.sum(qT[f][None] * kT, axis=1)  # (G, bs), log2-space
             # per-frame max kept: the static-offset trick (see the flash
             # kernel) trips a Mosaic relayout bug here ("non-singleton
@@ -552,8 +565,11 @@ def _temporal_flash(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
     block_s: int = 0, interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pallas frame-attention on (B, F, S, C); returns (B, F, S, C)."""
-    b, f, s, c = q.shape
+    """Pallas frame-attention; q is (B, Fq, S, C), k/v (B, F, S, C) with
+    Fq <= F (query-frame slicing for the SPMD seq-sharded path; Fq == F in
+    the single-device case).  Returns (B, Fq, S, C)."""
+    b, fq, s, c = q.shape
+    f = k.shape[1]
     d = c // heads
     scale = 1.4426950408889634 / math.sqrt(d)
     if block_s == 0:
@@ -570,7 +586,12 @@ def _temporal_flash(
     if s % block_s != 0:  # spatial sites are powers of two; be safe
         block_s = math.gcd(s, block_s)
     grid = (b, s // block_s)
-    spec = pl.BlockSpec(
+    qspec = pl.BlockSpec(
+        (1, fq, block_s, c),
+        lambda bi, si: (bi, 0, si, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
         (1, f, block_s, c),
         lambda bi, si: (bi, 0, si, 0),
         memory_space=pltpu.VMEM,
@@ -578,16 +599,90 @@ def _temporal_flash(
     return pl.pallas_call(
         functools.partial(_temporal_kernel4, frames=f, heads=heads, scale=scale),
         grid=grid,
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, f, s, c), q.dtype),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, fq, s, c), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * heads * f * f * s * d,
-            bytes_accessed=3 * b * f * s * c * q.dtype.itemsize,
-            transcendentals=b * heads * f * f * s,
+            flops=2 * 2 * b * heads * fq * f * s * d,
+            bytes_accessed=(2 * f + fq) * b * s * c * q.dtype.itemsize,
+            transcendentals=b * heads * fq * f * s,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _temporal_kernel_hg(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Head-gridded frame-attention: one (batch, s-block, head) program.
+
+    Versus _temporal_kernel4 (in-kernel head loop over a full-C block),
+    the head becomes a grid dimension and the C block is one head's d
+    channels — so the (F, bs, d)->(F, d, bs) relayouts happen once per
+    program on larger s-tiles instead of ``heads`` times on s=64-capped
+    tiles.  Candidate for the small-s sites whose einsum path pays a
+    materialized softmax (round-2 floor note: temporal ~48 -> ~20 ms)."""
+    fq = q_ref.shape[1]
+    q = q_ref[0]  # (Fq, bs, d)
+    k = k_ref[0]  # (F, bs, d)
+    v = v_ref[0]
+    qT = jnp.transpose(q, (0, 2, 1)).astype(jnp.float32) * scale  # (Fq,d,bs)
+    kT = jnp.transpose(k, (0, 2, 1)).astype(jnp.float32)
+    vT = jnp.transpose(v, (0, 2, 1)).astype(jnp.float32)
+    outs = []
+    for f in range(fq):
+        s = jnp.sum(qT[f][None] * kT, axis=1)  # (F, bs) log2-space
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp2(s - m)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        o_f = jnp.sum(p[:, None, :] * vT, axis=0)  # (d, bs)
+        outs.append(jnp.transpose(o_f, (1, 0)).astype(o_ref.dtype))
+    o_ref[0] = jnp.stack(outs, axis=0)
+
+
+def _temporal_flash_hg(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
+    block_s: int = 0, interpret: bool = False,
+) -> jnp.ndarray:
+    """Head-gridded pallas frame-attention; same contract as
+    _temporal_flash (q may carry fewer frames than k/v)."""
+    b, fq, s, c = q.shape
+    f = k.shape[1]
+    d = c // heads
+    scale = 1.4426950408889634 / math.sqrt(d)
+    if block_s == 0:
+        import os
+
+        # VMEM per program ~ 3 x (in bf16 + fp32 relayout) x F*block_s*d:
+        # block_s*d ~ 20K elements keeps it ~12 MB at F=16
+        base = int(os.environ.get("I2V_TEMPORAL_HG_BLOCK", "20480"))
+        block_s = max(8, base // d)
+    block_s = min(block_s, s)
+    if s % block_s != 0:
+        block_s = math.gcd(s, block_s)
+    grid = (b, s // block_s, heads)
+    qspec = pl.BlockSpec(
+        (1, fq, block_s, d), lambda bi, si, hi: (bi, 0, si, hi),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, f, block_s, d), lambda bi, si, hi: (bi, 0, si, hi),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_temporal_kernel_hg, scale=scale),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, fq, s, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * fq * f * s * d,
+            bytes_accessed=(2 * f + fq) * b * s * c * q.dtype.itemsize,
+            transcendentals=b * heads * fq * f * s,
         ),
         interpret=interpret,
     )(q, k, v)
@@ -596,6 +691,11 @@ def _temporal_flash(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _temporal_pallas(q, k, v, heads, interpret):
     return _temporal_flash(q, k, v, heads=heads, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _temporal_pallas_hg(q, k, v, heads, interpret):
+    return _temporal_flash_hg(q, k, v, heads=heads, interpret=interpret)
 
 
 def _temporal_ref_mxu(q, k, v, heads):
@@ -633,6 +733,13 @@ def _temporal_bwd(heads, interpret, res, g):
 _temporal_pallas.defvjp(_temporal_fwd, _temporal_bwd)
 
 
+def _temporal_fwd_hg(q, k, v, heads, interpret):
+    return _temporal_pallas_hg(q, k, v, heads, interpret), (q, k, v)
+
+
+_temporal_pallas_hg.defvjp(_temporal_fwd_hg, _temporal_bwd)
+
+
 def temporal_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
     impl: str = "auto",
@@ -655,7 +762,7 @@ def temporal_attention(
     vh = v.reshape(b, f, s, heads, d)
     scale = 1.0 / math.sqrt(d)
 
-    if impl == "auto":
+    if impl in ("auto", "xla"):
         # The fused pallas kernel (full-C s-blocks, heads split in-kernel)
         # replaces vpu2's five HBM transposes per call at the big sites:
         # in-context full-step A/B (512px): pallas-everywhere 488.5 ms,
@@ -665,20 +772,46 @@ def temporal_attention(
         # (the einsum path shows 1.5e-2 under DEFAULT matmul precision,
         # identical under 'highest').  A whole-(F,G,D,S) broadcast kernel
         # was the round-2 dead end (34.6 ms).  I2V_TEMPORAL_IMPL overrides.
+        # impl='xla' (cfg.flash_attention=False) never selects a custom
+        # Pallas kernel — only the pure-XLA vpu2/mxu lowerings.
         import os
 
         forced = os.environ.get("I2V_TEMPORAL_IMPL")
         pallas_min = int(os.environ.get("I2V_TEMPORAL_PALLAS_MIN", "2048"))
         if forced:
             impl = forced
-        elif _on_tpu() and s >= pallas_min:
+        elif impl != "xla" and _on_tpu() and s >= pallas_min:
             impl = "pallas"
+        elif impl != "xla" and _on_tpu() and os.environ.get(
+            "I2V_TEMPORAL_SMALL_IMPL"
+        ):
+            # A/B hook: alternate kernel for the sub-pallas_min sites
+            # (whose einsum path materializes the softmax)
+            impl = os.environ["I2V_TEMPORAL_SMALL_IMPL"]
         else:
             impl = "vpu2" if s >= 2048 else "mxu"
-    if impl == "pallas":
-        return _temporal_pallas(q, k, v, heads, False)
-    if impl == "pallas_interpret":
-        return _temporal_pallas(q, k, v, heads, True)
+    if impl in ("pallas", "pallas_interpret", "pallas_hg", "pallas_hg_interpret"):
+        interp = impl.endswith("interpret")
+        hg = impl.startswith("pallas_hg")
+        flash_fn = _temporal_flash_hg if hg else _temporal_flash
+        from i2v_adapter_tpu.parallel.spmd import (
+            current_attention_spmd,
+            spmd_temporal_attention,
+        )
+
+        ctx = current_attention_spmd()
+        if ctx is not None:
+            out = spmd_temporal_attention(
+                lambda ql, kl, vl, hl: flash_fn(
+                    ql, kl, vl, heads=hl, interpret=interp
+                ),
+                q, k, v, heads, ctx,
+            )
+            if out is not None:
+                return out
+        if hg:
+            return _temporal_pallas_hg(q, k, v, heads, interp)
+        return _temporal_pallas(q, k, v, heads, interp)
     if impl == "mxu":
         scores = jnp.einsum(
             "bfshd,bgshd->bshfg", qh, kh, preferred_element_type=jnp.float32
@@ -739,18 +872,24 @@ def dot_product_attention(
     kv_repeat: int = 1,
     scale: Optional[float] = None,
     impl: str = "auto",
+    static_max: Optional[float] = None,
 ) -> jnp.ndarray:
     """Dispatching attention entry point used by every model site.
 
     impl: "auto" (pallas on TPU when profitable, else XLA), "pallas",
     "pallas_interpret" (CPU testing), "xla".
+
+    static_max: compile-time log2-space softmax offset for the pallas
+    kernel (``VideoUNetConfig.flash_static_max`` threads it; 0 restores
+    the exact per-row running max).  None falls back to the
+    I2V_FLASH_STATIC_MAX env var (default 64).
     """
     if impl == "xla":
         return xla_attention(q, k, v, kv_repeat=kv_repeat, scale=scale)
     if impl == "pallas":
-        return _attention_pallas(q, k, v, kv_repeat, scale, False)
+        return _pallas_maybe_spmd(q, k, v, kv_repeat, scale, False, static_max)
     if impl == "pallas_interpret":
-        return _attention_pallas(q, k, v, kv_repeat, scale, True)
+        return _pallas_maybe_spmd(q, k, v, kv_repeat, scale, True, static_max)
     if impl != "auto":
         raise ValueError(f"unknown impl: {impl}")
     nk = k.shape[1]
@@ -760,5 +899,30 @@ def dot_product_attention(
     # overhead beats the materialized-scores cost at these sizes).  The
     # fused kernel wins on the long spatial sequences and cross-frame reuse.
     if _on_tpu() and nk >= 128:
-        return _attention_pallas(q, k, v, kv_repeat, scale, False)
+        return _pallas_maybe_spmd(q, k, v, kv_repeat, scale, False, static_max)
     return xla_attention(q, k, v, kv_repeat=kv_repeat, scale=scale)
+
+
+def _pallas_maybe_spmd(q, k, v, kv_repeat, scale, interpret, static_max):
+    """Pallas flash entry that honors an active SPMD mesh context: under
+    GSPMD a pallas_call forces full replication (XLA cannot slice the
+    custom call's grid), so mesh-sharded samplers activate
+    ``parallel.spmd.attention_spmd`` and the kernel runs shard-local via
+    shard_map instead.  Falls back to the plain (replicated) call when no
+    context is active or the shapes don't meet the layout constraints."""
+    from i2v_adapter_tpu.parallel.spmd import (
+        current_attention_spmd,
+        spmd_flash_attention,
+    )
+
+    ctx = current_attention_spmd()
+    if ctx is not None:
+        out = spmd_flash_attention(
+            lambda ql, kl, vl, rep: _attention_pallas(
+                ql, kl, vl, rep, scale, interpret, static_max
+            ),
+            q, k, v, kv_repeat, ctx,
+        )
+        if out is not None:
+            return out
+    return _attention_pallas(q, k, v, kv_repeat, scale, interpret, static_max)

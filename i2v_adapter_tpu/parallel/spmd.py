@@ -1,0 +1,259 @@
+"""SPMD inference: shard_map wrapping for Pallas kernels and tensor-parallel
+parameter sharding rules.
+
+Why this module exists: under plain ``jax.jit`` GSPMD partitioning, a
+``pallas_call`` is an opaque custom call — XLA cannot slice its grid, so it
+**forces full replication** (all-gather inputs, every device redoes the whole
+kernel; verified on an 8-device mesh: the output sharding collapses to
+``PartitionSpec()``).  The XLA ops around the kernels (convs, GroupNorms,
+projections, FF matmuls) partition fine.  So the mesh-sharded sampler lets
+GSPMD handle everything *except* the Pallas sites, which are wrapped here in
+``shard_map`` with explicitly-local semantics:
+
+* **flash (spatial / cross-frame / IP) attention** — batch dim 0 is the
+  CFG-doubled clip-major frame-minor eval axis ``(B·F)``; it shards over
+  ``(clip_axis, frame_axis)`` and the kernel runs untouched on each local
+  slab (spatial attention is frame-local).  The cross-frame site's K/V carry
+  one entry per clip: they shard over ``clip_axis`` only (replicated across
+  frame shards) and the local kernel sees ``kv_repeat / seq`` — the
+  first-frame broadcast never crosses the wire more than once.
+* **temporal (frame-axis) attention** — ``(B, F, S, C)`` operands shard
+  ``(clip, frame)``; K/V frames are all-gathered over ``frame_axis`` inside
+  the shard (F ≤ 32, so the gather is tiny) and a query-sliced kernel
+  variant computes only the local query frames.
+* attention **heads** additionally shard over ``tensor_axis`` when the head
+  count divides — this is the tensor-parallel axis made real: q/k/v
+  projections are column-sharded (`tp_param_shardings`), each device runs
+  the kernel on its local heads, and the row-sharded ``to_out`` matmul's
+  psum is inserted by GSPMD.
+
+The reference has no analogue of any of this — its only distribution is
+NCCL data-parallel training via HF Accelerate (SURVEY.md §2.5/§5.8); its
+inference is strictly single-GPU (pipeline_i2v_adapter.py:721-809).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from i2v_adapter_tpu.parallel.mesh import (
+    DATA_AXIS,
+    FSDP_AXIS,
+    SEQ_AXIS,
+    TENSOR_AXIS,
+)
+
+# ---------------------------------------------------------------------------
+# context: how attention operands are laid out over the mesh
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AttentionSpmd:
+    """Declares the mesh layout of attention operands inside a sharded
+    sampler, so the ops-level dispatchers can wrap Pallas kernels in
+    shard_map with matching specs."""
+
+    mesh: Mesh
+    clip_axis: str = DATA_AXIS  # CFG-doubled clip axis (dim 0 of the batch)
+    frame_axis: str = SEQ_AXIS  # video frame axis
+    tensor_axis: str = TENSOR_AXIS  # attention-head sharding
+
+    @property
+    def eval_axes(self) -> Tuple[str, str]:
+        return (self.clip_axis, self.frame_axis)
+
+    def size(self, axis: str) -> int:
+        return int(self.mesh.shape.get(axis, 1))
+
+    @property
+    def eval_parallelism(self) -> int:
+        return self.size(self.clip_axis) * self.size(self.frame_axis)
+
+
+_STACK: list = []
+
+
+@contextmanager
+def attention_spmd(mesh: Mesh, **kwargs):
+    """Activate SPMD attention dispatch for Pallas sites traced inside.
+
+    Trace-time only (the dispatch decision is Python-level); no effect on
+    already-compiled functions."""
+    ctx = AttentionSpmd(mesh, **kwargs)
+    _STACK.append(ctx)
+    try:
+        yield ctx
+    finally:
+        _STACK.pop()
+
+
+def current_attention_spmd() -> Optional[AttentionSpmd]:
+    return _STACK[-1] if _STACK else None
+
+
+# ---------------------------------------------------------------------------
+# shard_map wrappers (called from ops.attention dispatchers)
+# ---------------------------------------------------------------------------
+
+
+def _head_axis(ctx: AttentionSpmd, heads: int) -> Optional[str]:
+    t = ctx.size(ctx.tensor_axis)
+    if t > 1 and heads % t == 0:
+        return ctx.tensor_axis
+    return None
+
+
+def spmd_flash_attention(
+    plain_call, q, k, v, kv_repeat: int, ctx: AttentionSpmd
+):
+    """Run the flash kernel with per-device-local slabs.
+
+    ``plain_call(q, k, v, kv_repeat)`` is the unwrapped kernel entry.
+    Returns None when the shapes don't satisfy the layout constraints (the
+    caller falls back to the plain call — correct, just replicated).
+
+    Constraints (serving shapes satisfy them by construction):
+      * kv_repeat == 1: dim 0 divisible by clip·frame parallelism.
+      * kv_repeat > 1 (cross-frame): one clip per clip-shard
+        (``k.shape[0] == clip_size``) so the local q→kv index map stays the
+        kernel's ``q_block // kv_repeat``; frames divisible by frame shards.
+    """
+    d, s = ctx.size(ctx.clip_axis), ctx.size(ctx.frame_axis)
+    n = d * s
+    if n == 1:
+        return None
+    heads = q.shape[2]
+    haxis = _head_axis(ctx, heads)
+    if kv_repeat == 1:
+        if q.shape[0] % n:
+            return None
+        spec = P(ctx.eval_axes, None, haxis, None)
+        in_specs = (spec, spec, spec)
+        local_repeat = 1
+        out_spec = spec
+    else:
+        if k.shape[0] != d or kv_repeat % s:
+            return None
+        qspec = P(ctx.eval_axes, None, haxis, None)
+        kspec = P((ctx.clip_axis,), None, haxis, None)
+        in_specs = (qspec, kspec, kspec)
+        local_repeat = kv_repeat // s
+        out_spec = qspec
+
+    fn = _shard_map(
+        lambda ql, kl, vl: plain_call(ql, kl, vl, local_repeat),
+        mesh=ctx.mesh,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+def spmd_temporal_attention(local_call, q, k, v, heads: int, ctx: AttentionSpmd):
+    """Frame-axis attention with (B, F, S, C) operands sharded
+    (clip, frame): K/V frames are all-gathered inside the shard (F is tiny)
+    and ``local_call(q, k_full, v_full, heads_local)`` computes only the
+    local query frames.  Returns None when constraints don't hold."""
+    b, f, _, c = q.shape
+    d, s = ctx.size(ctx.clip_axis), ctx.size(ctx.frame_axis)
+    if d * s == 1:
+        return None
+    if b % d or f % s:
+        return None
+    haxis = _head_axis(ctx, heads)
+    t = ctx.size(ctx.tensor_axis) if haxis else 1
+    # C is head-major (heads * dim_head): sharding C over tensor keeps whole
+    # heads local.
+    spec = P(ctx.clip_axis, ctx.frame_axis, None, haxis)
+    frame_axis = ctx.frame_axis
+
+    def local(ql, kl, vl):
+        if s > 1:
+            kl = jax.lax.all_gather(kl, frame_axis, axis=1, tiled=True)
+            vl = jax.lax.all_gather(vl, frame_axis, axis=1, tiled=True)
+        return local_call(ql, kl, vl, heads // t)
+
+    fn = _shard_map(
+        local, mesh=ctx.mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel parameter sharding rules
+# ---------------------------------------------------------------------------
+
+# column-sharded projections (output features over tensor)
+_COL_KEYS = ("to_q", "to_k", "to_v", "to_k_ip", "to_v_ip")
+# row-sharded projections (input features over tensor; GSPMD inserts the
+# psum of partial outputs)
+_ROW_KEYS = ("to_out",)
+
+
+def _tp_spec(path: Tuple[str, ...], shape, tsize: int, heads: int) -> P:
+    """Megatron-style attention TP: q/k/v column-parallel, to_out
+    row-parallel.  The GEGLU feed-forward is NOT tensor-sharded: its
+    (d, 2·inner) projection splits at the midpoint, which a contiguous
+    column sharding would scatter across devices (measured design note —
+    frame-eval parallelism covers the FF instead).  Biases of row-parallel
+    layers stay replicated (added once after the psum)."""
+    if tsize <= 1 or len(shape) == 0:
+        return P()
+    names = [str(p) for p in path]
+    leaf = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    inner_dim_ok = lambda dim: shape[dim] % tsize == 0
+    if parent in _COL_KEYS and leaf == "kernel" and inner_dim_ok(-1):
+        spec = [None] * len(shape)
+        spec[-1] = TENSOR_AXIS
+        return P(*spec)
+    if parent in _COL_KEYS and leaf == "bias" and inner_dim_ok(0):
+        return P(TENSOR_AXIS)
+    if parent in _ROW_KEYS and leaf == "kernel" and shape[0] % tsize == 0:
+        spec = [None] * len(shape)
+        spec[0] = TENSOR_AXIS
+        return P(*spec)
+    return P()
+
+
+def tp_param_shardings(params, mesh: Mesh, heads: int = 8):
+    """NamedSharding tree for a UNet param tree: attention projections
+    sharded over the ``tensor`` axis, everything else replicated.  Safe for
+    tensor=1 meshes (everything replicated)."""
+    tsize = int(mesh.shape.get(TENSOR_AXIS, 1))
+
+    def leaf(path, p):
+        keys = tuple(
+            getattr(k, "key", getattr(k, "idx", k)) for k in path
+        )
+        return NamedSharding(mesh, _tp_spec(keys, tuple(p.shape), tsize, heads))
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def pipeline_param_shardings(params: dict, mesh: Mesh, heads: int = 8):
+    """Sharding tree for the full pipeline param dict: UNet gets tensor-
+    parallel rules; VAE / text / image encoders are replicated (their cost
+    per clip is ~0.3 s total — not worth sharding rules)."""
+    out = {}
+    for name, tree in params.items():
+        if name == "unet":
+            out[name] = tp_param_shardings(tree, mesh, heads)
+        else:
+            out[name] = jax.tree.map(
+                lambda p: NamedSharding(mesh, P()), tree
+            )
+    return out

@@ -39,6 +39,12 @@ def parse_args(argv=None):
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument(
+        "--mesh", type=str, default=None,
+        help="multi-chip serving mesh as 'data,tensor,seq' axis sizes "
+        "(e.g. '2,1,4' on a v5e-8: CFG halves over data, frames over seq); "
+        "product must divide the device count.  Default: single device.",
+    )
     return p.parse_args(argv)
 
 
@@ -79,6 +85,19 @@ def main(argv=None):
             else None
         ),
     )
+    if args.mesh:
+        from i2v_adapter_tpu.config import MeshConfig
+        from i2v_adapter_tpu.parallel.mesh import create_mesh
+
+        import jax
+
+        data, tensor, seq = (int(x) for x in args.mesh.split(","))
+        mesh = create_mesh(
+            MeshConfig(data=data, fsdp=1, tensor=tensor, seq=seq),
+            jax.devices()[: data * tensor * seq],
+        )
+        pipe.enable_mesh(mesh)
+        logger.info("serving over mesh %s", dict(mesh.shape))
 
     with open(args.eval_csv_path, newline="") as f:
         rows = list(csv.DictReader(f))

@@ -77,6 +77,39 @@ class I2VAdapterPipeline:
             else None
         )
         self.schedule = make_schedule(model_config.scheduler)
+        self.mesh = None
+
+    # ------------------------------------------------------------------
+    # multi-chip serving (beyond the reference: its inference is strictly
+    # single-GPU + CPU offload).  One clip's 22-step denoise saturates a
+    # single v5e at ~8 s (BASELINE.md roofline); the mesh shards the
+    # CFG-doubled clip axis over ``data``, frames over ``seq``, attention
+    # heads over ``tensor`` — Pallas kernels run shard-local via
+    # parallel.spmd, everything else partitions under GSPMD.
+    # ------------------------------------------------------------------
+
+    def enable_mesh(self, mesh) -> None:
+        """Shard the sampler over ``mesh``: params placed with tensor-
+        parallel rules (attention projections over ``tensor``, rest
+        replicated), activations over (data, seq).  Call with a
+        ``parallel.mesh.create_mesh`` mesh; ``disable_mesh`` reverts."""
+        from i2v_adapter_tpu.parallel.spmd import pipeline_param_shardings
+
+        self.mesh = mesh
+        self.params = jax.device_put(
+            self.params,
+            pipeline_param_shardings(
+                self.params, mesh, heads=self.config.unet.num_attention_heads
+            ),
+        )
+        self.__dict__.setdefault("_sampler_cache", {}).clear()
+
+    def disable_mesh(self) -> None:
+        self.mesh = None
+        self.params = jax.device_put(
+            self.params, jax.devices()[0]
+        )
+        self.__dict__.setdefault("_sampler_cache", {}).clear()
 
     # ------------------------------------------------------------------
     # memory / quality toggles (reference pipeline :123-181)
@@ -254,13 +287,15 @@ class I2VAdapterPipeline:
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
-            unet_chunk,
+            unet_chunk, self.mesh,
         )
         # setdefault-style lazy init so partially-constructed pipelines
         # (e.g. bench.py's __new__ path) work too
         cache = self.__dict__.setdefault("_sampler_cache", {})
         if key not in cache:
-            cache[key] = self._build_sampler(*key)
+            # trailing key element is the mesh (cache identity only;
+            # _build_sampler reads self.mesh)
+            cache[key] = self._build_sampler(*key[:-1])
         return cache[key]
 
     def _build_sampler(
@@ -287,6 +322,49 @@ class I2VAdapterPipeline:
             cfg.scheduler, num_inference_steps, strength if has_condition else 1.0
         )
         pcfg = self.pipe_config
+        mesh = self.mesh
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+            dsz = int(mesh.shape.get(DATA_AXIS, 1))
+            ssz = int(mesh.shape.get(SEQ_AXIS, 1))
+
+            def shard_evals(x):
+                # (2B, F, ...) CFG-doubled clip-major batch: clips over
+                # ``data``, frames over ``seq`` — the layout the spmd
+                # flash/temporal wrappers expect.
+                dims = [None] * x.ndim
+                if dsz > 1 and x.shape[0] % dsz == 0:
+                    dims[0] = DATA_AXIS
+                if ssz > 1 and x.ndim > 1 and x.shape[1] % ssz == 0:
+                    dims[1] = SEQ_AXIS
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(*dims))
+                )
+
+            def shard_frames(x):
+                dims = [None] * x.ndim
+                if ssz > 1 and x.ndim > 1 and x.shape[1] % ssz == 0:
+                    dims[1] = SEQ_AXIS
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(*dims))
+                )
+
+            def shard_flat(x):
+                # frame-parallel VAE decode over data x seq — decode_sharded
+                # (models/vae.py) wired into the sampler
+                if dsz * ssz > 1 and x.shape[0] % (dsz * ssz) == 0:
+                    dims = [None] * x.ndim
+                    dims[0] = (DATA_AXIS, SEQ_AXIS)
+                    return jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P(*dims))
+                    )
+                return x
+        else:
+            shard_evals = shard_frames = shard_flat = lambda x: x
 
         def sample_fn(params, text_ids, cond_image, clip_image, rng):
             # text_ids: (2B or B, L); cond_image: (B, H, W, 3) in [-1, 1];
@@ -358,6 +436,7 @@ class I2VAdapterPipeline:
                     (batch, f, lh, lw, cfg.unet.in_channels),
                     dtype=jnp.float32,
                 )
+            latents = shard_frames(latents)
 
             # clips beyond the motion positional cap use windowed denoising
             use_tiling = f > cfg.unet.motion_max_seq_length
@@ -372,6 +451,7 @@ class I2VAdapterPipeline:
                 model_in = (
                     jnp.concatenate([latents] * 2, axis=0) if use_cfg else latents
                 )
+                model_in = shard_evals(model_in)
 
                 def unet_call(x, anchored=False):
                     return self.unet.apply(
@@ -446,7 +526,7 @@ class I2VAdapterPipeline:
                     schedule, noise_pred, jnp.full((batch,), t),
                     jnp.full((batch,), tp), latents, eta=eta, noise=step_noise,
                 )
-                return (latents, step_key), None
+                return (shard_frames(latents), step_key), None
 
             (latents, _), _ = jax.lax.scan(
                 denoise_step, (latents, rng_eta),
@@ -459,7 +539,7 @@ class I2VAdapterPipeline:
             # slice-4 on v5e at 512px (decode_slice=0 = no slicing), with
             # slicing kept as the low-memory fallback.
             flat = latents.reshape(batch * f, lh, lw, cfg.unet.in_channels)
-            flat = (flat / scale).astype(self.dtype)
+            flat = shard_flat((flat / scale).astype(self.dtype))
             if vae_tiling:
                 from i2v_adapter_tpu.models.vae import decode_tiled
 
@@ -485,6 +565,22 @@ class I2VAdapterPipeline:
             )
             return video.astype(jnp.float32)
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from i2v_adapter_tpu.parallel.spmd import attention_spmd
+
+            inner_fn = sample_fn
+
+            def sample_fn(*args):
+                # trace-time context: Pallas attention sites dispatch to
+                # shard_map-wrapped shard-local kernels (parallel/spmd.py)
+                with attention_spmd(mesh):
+                    return inner_fn(*args)
+
+            return jax.jit(
+                sample_fn, out_shardings=NamedSharding(mesh, P())
+            )
         return jax.jit(sample_fn)
 
     # ------------------------------------------------------------------
@@ -508,9 +604,13 @@ class I2VAdapterPipeline:
         decode_slice: int = 0,
         vae_tiling: bool = False,
         unet_chunk: int = 0,
+        memory_unsafe: bool = False,
     ):
         """Generate clips. Returns (B, F, H, W, 3) uint8 (output_type='np')
-        or float32 in [-1, 1] ('latent' returns raw latents)."""
+        or float32 in [-1, 1] ('latent' returns raw latents).
+
+        ``memory_unsafe=True`` bypasses the single-chip HBM envelope check
+        (see ``_check_memory_envelope``) — only for meshes / larger chips."""
         pcfg = self.pipe_config
         num_frames = num_frames or pcfg.num_frames
         height = height or pcfg.height
@@ -574,6 +674,8 @@ class I2VAdapterPipeline:
         # concurrent frame evaluations exceeds one chip's comfortable HBM
         # footprint at 512px (batch 8 CFG-doubled = 256 evals OOMs 16 GB).
         evals = batch * num_frames * (2 if use_cfg else 1)
+        if not memory_unsafe:
+            self._check_memory_envelope(evals, height, width, batch)
         if unet_chunk == 0:
             unet_chunk = 2 if evals >= 256 else 1
         if decode_slice == 0 and batch * num_frames > 64:
@@ -594,9 +696,57 @@ class I2VAdapterPipeline:
         video = np.asarray(video).reshape(
             batch, num_frames, height, width, self.config.vae.out_channels
         )
+        # Host-side serving numerics guard (free: the array is already on
+        # host).  The static-offset flash softmax turns out-of-range logits
+        # into NaN by design; training's skip-guard catches that but a
+        # serving user would otherwise get a silent black/garbage GIF.
+        if not np.isfinite(video).all():
+            raise FloatingPointError(
+                "generated video contains non-finite values.  Likely causes: "
+                "(a) the static-offset flash softmax hit out-of-range logits "
+                "— retry with VideoUNetConfig.flash_static_max=0.0 (or "
+                "I2V_FLASH_STATIC_MAX=0) to restore the exact per-row max; "
+                "(b) non-finite weights in the loaded checkpoint."
+            )
         if output_type == "pt" or output_type == "float":
             return video
         return image_utils.postprocess_video(video)
+
+    # measured single-chip envelope (BASELINE.md config 3, v5e 16 GB):
+    # 128 CFG-doubled frame-evals at 512px (4096 latent tokens each) serve
+    # fine; 256 evals crash the TPU worker outright rather than raising
+    # RESOURCE_EXHAUSTED.  Unit: frame-evals x latent tokens.
+    MAX_EVAL_TOKENS: int = 128 * 4096
+
+    def _check_memory_envelope(
+        self, evals: int, height: int, width: int, batch: int
+    ) -> None:
+        """Refuse serving requests whose UNet working set exceeded the
+        measured 16 GB single-chip envelope, instead of crashing the TPU
+        worker (the worst failure mode a serving stack can expose).
+        Reference analogue: none — the reference OOMs."""
+        sf = self.config.vae.spatial_scale_factor
+        tokens = (height // sf) * (width // sf)
+        budget = self.MAX_EVAL_TOKENS
+        if self.mesh is not None:
+            # eval-sharded sampler: per-device working set divides by the
+            # clip/frame parallelism
+            from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+            budget *= int(self.mesh.shape.get(DATA_AXIS, 1)) * int(
+                self.mesh.shape.get(SEQ_AXIS, 1)
+            )
+        if evals * tokens > budget:
+            max_batch = max(1, budget // (tokens * (evals // batch)))
+            raise ValueError(
+                f"request of {evals} UNet frame-evals x {tokens} latent "
+                f"tokens exceeds the measured single-chip HBM envelope "
+                f"({self.MAX_EVAL_TOKENS} eval-tokens — batch 8 at 512px "
+                f"crashes a 16 GB v5e outright).  Split the request into "
+                f"batches of <= {max_batch} clip(s) at this resolution, "
+                f"lower the resolution, or pass memory_unsafe=True on a "
+                f"multi-chip mesh / larger device."
+            )
 
     def export_gifs(self, video_uint8: np.ndarray, prefix: str, fps: int = 8) -> List[str]:
         paths = []

@@ -311,6 +311,16 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         for batch in loader:
             if args.profile_steps and global_step == 2:
                 jax.profiler.start_trace(os.path.join(task_dir, "profile"))
+            # DELIBERATE DEVIATION: the reference trains with
+            # padding='longest' (/root/reference/src/train_image_to_video.py:818)
+            # while its own inference pads to max_length — so the UNet sees
+            # different cross-attn context lengths at train vs serve time.
+            # Here training pads to max_length too: the jitted step compiles
+            # once (jit-static shapes) AND the conditioning tensor matches
+            # inference exactly (pad-position hidden states included, as at
+            # serve time).  utils/tokenizer.py supports padding='longest'
+            # for anyone reproducing the reference's exact recipe with
+            # bucketed lengths.  Recorded in docs/PARITY.md.
             text_ids = pipe.tokenizer(batch.pop("text"), padding="max_length")
             device_batch = put({
                 "pixel_values": batch["pixel_values"],

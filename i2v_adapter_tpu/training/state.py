@@ -99,6 +99,28 @@ def make_optimizer(config: TrainConfig, total_steps: int) -> optax.GradientTrans
     oc = config.optimizer
     schedule = make_lr_schedule(oc, total_steps)
     if oc.optimizer == "adafactor":
+        # Surface the dynamics difference loudly: unlike the 8-bit Adam it
+        # stands in for, classic Adafactor has NO momentum and NO weight
+        # decay, so adam_* flags are silently inert.  Warn when any of them
+        # was set away from its default (docs/PARITY.md records the
+        # rationale).
+        defaults = OptimizerConfig()
+        ignored = [
+            name
+            for name in ("adam_beta1", "adam_beta2", "adam_weight_decay",
+                         "adam_epsilon")
+            if getattr(oc, name) != getattr(defaults, name)
+        ]
+        if ignored:
+            import warnings
+
+            warnings.warn(
+                f"optimizer='adafactor' ignores {', '.join(ignored)}: "
+                "classic Adafactor keeps no momentum and applies no weight "
+                "decay (see make_optimizer docstring); ported AdamW recipes "
+                "lose both.  Use optimizer='adamw' to honor these flags.",
+                stacklevel=2,
+            )
         # Classic memory-cheap Adafactor: momentum=None (momentum would
         # re-add a param-sized buffer and defeat the point) and NO weight
         # decay — optax.adafactor's weight_decay_rate is applied per step

@@ -210,3 +210,45 @@ def test_serving_numerics_unet_psnr(rng):
                          enable_cross_frame_attn=True)
     db = psnr(np.asarray(out_e), np.asarray(out_s))
     assert db > 60.0, db
+
+
+def test_fused_qkv_matches_unfused(rng, monkeypatch):
+    """I2V_FUSE_QKV=1 concatenates the q/k/v kernels into one matmul with an
+    IDENTICAL param tree; outputs must match the three-Dense path."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2v_adapter_tpu.models.attention import Attention
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 8, 24)).astype(np.float32))
+    attn = Attention(heads=2, dim_head=16)
+
+    monkeypatch.delenv("I2V_FUSE_QKV", raising=False)
+    params = attn.init(jax.random.PRNGKey(0), x)
+    ref_self = attn.apply(params, x)
+    params_x = attn.init(jax.random.PRNGKey(0), x, ctx)
+    ref_cross = attn.apply(params_x, x, ctx)
+
+    monkeypatch.setenv("I2V_FUSE_QKV", "1")
+    params_fused = attn.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params_fused) == jax.tree.structure(params)
+    out_self = attn.apply(params, x)
+    out_cross = attn.apply(params_x, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out_self), np.asarray(ref_self), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cross), np.asarray(ref_cross), atol=1e-5
+    )
+
+    from i2v_adapter_tpu.models.temporal import TemporalSelfAttention
+
+    t = TemporalSelfAttention(heads=2, dim_head=8)
+    xt = jnp.asarray(rng.standard_normal((1, 4, 8, 16)).astype(np.float32))
+    monkeypatch.delenv("I2V_FUSE_QKV")
+    tparams = t.init(jax.random.PRNGKey(1), xt)
+    tref = t.apply(tparams, xt)
+    monkeypatch.setenv("I2V_FUSE_QKV", "1")
+    tout = t.apply(tparams, xt)
+    np.testing.assert_allclose(np.asarray(tout), np.asarray(tref), atol=1e-5)

@@ -183,6 +183,48 @@ def test_temporal_attention_pallas_matches_f64(rng):
     np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-4, atol=1e-5)
 
 
+def test_temporal_attention_pallas_hg_matches_f64(rng):
+    """Head-gridded kernel variant (one head per program via a C-slicing
+    BlockSpec) against a float64 gold reference, incl. the query-frame-
+    sliced contract (Fq < F) used by the SPMD seq-sharded path."""
+    import math
+
+    from i2v_adapter_tpu.ops.attention import (
+        _temporal_flash_hg,
+        temporal_attention,
+    )
+
+    b, f, s, c, h = 2, 4, 8, 16, 2
+    d = c // h
+    q = rng.standard_normal((b, f, s, c)).astype(np.float32)
+    k = rng.standard_normal((b, f, s, c)).astype(np.float32)
+    v = rng.standard_normal((b, f, s, c)).astype(np.float32)
+
+    qh = q.astype(np.float64).reshape(b, f, s, h, d)
+    kh = k.astype(np.float64).reshape(b, f, s, h, d)
+    vh = v.astype(np.float64).reshape(b, f, s, h, d)
+    scores = np.einsum("bfshd,bgshd->bshfg", qh, kh) / math.sqrt(d)
+    scores -= scores.max(axis=-1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(axis=-1, keepdims=True)
+    gold = np.einsum("bshfg,bgshd->bfshd", p, vh).reshape(b, f, s, c)
+
+    got = temporal_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=h,
+        impl="pallas_hg_interpret",
+    )
+    np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-4, atol=1e-5)
+
+    # query-frame slicing: frames 1..2 against full K/V
+    sliced = _temporal_flash_hg(
+        jnp.asarray(q[:, 1:3]), jnp.asarray(k), jnp.asarray(v), heads=h,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sliced), gold[:, 1:3], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_temporal_attention_pallas_backward_matches_mxu(rng):
     """custom_vjp backward of the pallas temporal path == autodiff of the
     einsum reference."""
