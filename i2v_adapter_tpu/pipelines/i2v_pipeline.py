@@ -287,7 +287,7 @@ class I2VAdapterPipeline:
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
-            unet_chunk, self.mesh,
+            unet_chunk, getattr(self, "mesh", None),
         )
         # setdefault-style lazy init so partially-constructed pipelines
         # (e.g. bench.py's __new__ path) work too
@@ -322,7 +322,8 @@ class I2VAdapterPipeline:
             cfg.scheduler, num_inference_steps, strength if has_condition else 1.0
         )
         pcfg = self.pipe_config
-        mesh = self.mesh
+        # getattr: bench.py builds partially-constructed pipelines via __new__
+        mesh = getattr(self, "mesh", None)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -728,7 +729,7 @@ class I2VAdapterPipeline:
         sf = self.config.vae.spatial_scale_factor
         tokens = (height // sf) * (width // sf)
         budget = self.MAX_EVAL_TOKENS
-        if self.mesh is not None:
+        if getattr(self, "mesh", None) is not None:
             # eval-sharded sampler: per-device working set divides by the
             # clip/frame parallelism
             from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
