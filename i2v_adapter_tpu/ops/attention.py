@@ -143,7 +143,7 @@ def _flash_kernel(
 def _flash_kernel_t(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     *, kv_len: int, block_kv: int, out_t: bool = False,
-    static_max: float = 0.0,
+    static_max: float = 0.0, lse_ref=None,
 ):
     """Transposed-input variant: q/k/v arrive as (1, Dp, block) — the layout
     the projection matmuls already produce on TPU ((B,H,D,N) row-major is
@@ -215,6 +215,15 @@ def _flash_kernel_t(
         # thousand elements; it lets the HBM output keep the N-minor layout
         # the to_out matmul can read without a materialized copy.
         o_ref[0] = jnp.transpose(o, (1, 0)) if out_t else o
+        if lse_ref is not None:
+            # log2-space logsumexp per q row (the softmax denominator the
+            # flash backward needs): m + log2(l); under the static offset
+            # m == static_max identically.
+            m_term = (
+                jnp.float32(static_max) if static_max else m_scratch[:, :1]
+            )
+            lse = m_term + jnp.log2(l_scratch[:, :1])  # (block_q, 1)
+            lse_ref[0] = jnp.transpose(lse, (1, 0))[0]
 
 
 def _flash_forward_t(
@@ -230,7 +239,8 @@ def _flash_forward_t(
     interpret: bool = False,
     transposed_out: bool = False,
     static_max: float = 0.0,
-) -> jnp.ndarray:
+    with_stats: bool = False,
+):
     bh, dp, nq_pad = q3.shape
     _, _, nk_pad = k3.shape
     grid = (bh, nq_pad // block_q, nk_pad // block_kv)
@@ -258,7 +268,24 @@ def _flash_forward_t(
     else:
         out_spec = pl.BlockSpec((1, block_q, dp), o_index, memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((bh, nq_pad, dp), q3.dtype)
-    return pl.pallas_call(
+    out_specs = [out_spec]
+    out_shapes = [out_shape]
+    if with_stats:
+        # the kernel takes lse_ref as a positional output after o_ref
+        def kernel(*refs, _kv_len=kv_len):  # noqa: F811
+            q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s = refs
+            _flash_kernel_t(
+                q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
+                kv_len=_kv_len, block_kv=block_kv, out_t=transposed_out,
+                static_max=static_max, lse_ref=lse_ref,
+            )
+
+        out_specs.append(
+            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((bh, nq_pad), jnp.float32))
+    result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -266,8 +293,8 @@ def _flash_forward_t(
             pl.BlockSpec((1, dp, block_kv), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dp, block_kv), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=out_spec,
-        out_shape=out_shape,
+        out_specs=out_specs if with_stats else out_spec,
+        out_shape=out_shapes if with_stats else out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANE), jnp.float32),
             pltpu.VMEM((block_q, _LANE), jnp.float32),
@@ -283,6 +310,7 @@ def _flash_forward_t(
         ),
         interpret=interpret,
     )(q3, k3, v3)
+    return result
 
 
 def _flash_forward(
@@ -354,13 +382,17 @@ def flash_attention(
     transposed_io: bool = True,
     transposed_out: bool = False,
     static_max: float = 0.0,
-) -> jnp.ndarray:
+    with_stats: bool = False,
+):
     """Pallas fused attention. Shapes as in module docstring.
 
     ``static_max`` (transposed_io only): replace the per-row running max
     with a compile-time log2-space offset — exact within the fp32/bf16
     exponent range (see _flash_kernel_t); cuts one full VPU pass over the
-    scores."""
+    scores.
+
+    ``with_stats`` (transposed_io only): also return the per-row log2-space
+    logsumexp (BH, Nq_pad) consumed by the Pallas flash backward."""
     bq, nq, h, d = q.shape
     bkv, nk, hk, dk = k.shape
     assert (h, d) == (hk, dk) and v.shape == k.shape
@@ -400,12 +432,20 @@ def flash_attention(
             heads=h, kv_repeat=kv_repeat, kv_len=nk,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
             transposed_out=transposed_out, static_max=static_max,
+            with_stats=with_stats,
         )
+        lse = None
+        if with_stats:
+            o3, lse = o3
         if transposed_out:
             # (BH, D, N) -> (B, Nq, H, D); N-minor stays physical, so the
             # logical transpose is layout-foldable into the to_out matmul.
             o = o3.reshape(bq, h, dp, nq_pad)[:, :, :, :nq]
-            return jnp.transpose(o, (0, 3, 1, 2))
+            o = jnp.transpose(o, (0, 3, 1, 2))
+            return (o, lse) if with_stats else o
+        o = o3.reshape(bq, h, nq_pad, dp)[:, :, :nq, :]
+        o = jnp.swapaxes(o, 1, 2)
+        return (o, lse) if with_stats else o
     else:
         # (B, N, H, D) -> (B*H, N, D): head becomes part of the grid batch.
         def to3(x, n_pad):
@@ -422,6 +462,240 @@ def flash_attention(
         )
     o = o3.reshape(bq, h, nq_pad, dp)[:, :, :nq, :]
     return jnp.swapaxes(o, 1, 2)  # (B, Nq, H, D)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash backward (VERDICT r2 #6)
+#
+# The XLA backward materializes per-head (bkv, rep, nq, nk) fp32 score
+# tensors — 2.1 GB/head at 512px training shapes.  These kernels recompute
+# scores blockwise from the transposed-IO residuals + the forward's saved
+# log2-space logsumexp, so nothing quadratic hits HBM.
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, dsum_ref, dq_ref, acc,
+    *, kv_len: int, block_kv: int,
+):
+    """dq for one (bh, q-block) across kv blocks (innermost grid dim).
+
+    Refs: q/g (1, Dp, block_q) — q PRE-SCALED by scale*log2(e) like the
+    forward; k/v (1, Dp, block_kv); lse/dsum (1, block_q) fp32.
+    Computes ds' = p * (dp - D); the caller applies the trailing * scale.
+    """
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, block_kv), log2-space
+    if kv_len % block_kv != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    lse = jnp.transpose(lse_ref[...], (1, 0))  # (block_q, 1)
+    p = jnp.exp2(s - lse)
+    dp = jax.lax.dot_general(
+        g_ref[0], v_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, block_kv)
+    dsum = jnp.transpose(dsum_ref[...], (1, 0))  # (block_q, 1)
+    ds = p * (dp - dsum)
+    acc[:] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, Dp)
+
+    @pl.when(j == num_kv - 1)
+    def _fin():
+        dq_ref[0] = acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    k_ref, v_ref, q_ref, g_ref, lse_ref, dsum_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, kv_len: int, block_kv: int,
+):
+    """dk/dv for one (bkv·h, kv-block) across (frame, q-block) pairs
+    (innermost grid dim) — accumulates over every query that attends to
+    this kv block, including the cross-frame ``kv_repeat`` fan-in.
+
+    Scores are computed TRANSPOSED (block_kv, block_q) so the q axis rides
+    the lanes: lse/dsum broadcast along sublanes with no relayout.
+    """
+    t = pl.program_id(2)
+    num_t = pl.num_programs(2)
+
+    @pl.when(t == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    s_t = jax.lax.dot_general(
+        k_ref[0], q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_kv, block_q), log2-space
+    if kv_len % block_kv != 0:
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+            + pl.program_id(1) * block_kv
+        )
+        s_t = jnp.where(row < kv_len, s_t, -jnp.inf)
+    p_t = jnp.exp2(s_t - lse_ref[...])  # lse (1, block_q) broadcasts
+    dv_acc[:] += jax.lax.dot_general(
+        p_t.astype(g_ref.dtype), g_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_kv, Dp)
+    dp_t = jax.lax.dot_general(
+        v_ref[0], g_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_kv, block_q)
+    ds_t = p_t * (dp_t - dsum_ref[...])
+    dk_acc[:] += jax.lax.dot_general(
+        ds_t.astype(q_ref.dtype), q_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_kv, Dp)
+
+    @pl.when(t == num_t - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, o, g, lse,
+    *, kv_repeat: int, scale: float, interpret: bool = False,
+    block_q: int = 512, block_kv: int = 1024,
+):
+    """Blockwise flash backward on logical (B, N, H, D) tensors.
+
+    ``lse`` is the forward's (BH, Nq_pad) log2-space logsumexp.  Returns
+    (dq, dk, dv) in logical layout.  Bound by the same transposed-IO
+    bitcast property as the forward: all kernel operands are (BH, Dp, N).
+    """
+    bq, nq, h, d = q.shape
+    bkv, nk, _, _ = k.shape
+    log2e = 1.4426950408889634
+    block_q = _pick_block(nq, block_q)
+    block_kv = _pick_block(nk, block_kv)
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_kv)
+    fh = kv_repeat * h
+
+    def to3t(x, n_pad, pre=1.0):
+        b = x.shape[0]
+        x = jnp.transpose(
+            (x.astype(jnp.float32) * pre).astype(x.dtype), (0, 2, 3, 1)
+        )
+        if n_pad != x.shape[-1]:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, n_pad - x.shape[-1])))
+        return x.reshape(b * h, d, n_pad)
+
+    q3 = to3t(q, nq_pad, pre=scale * log2e)
+    k3 = to3t(k, nk_pad)
+    v3 = to3t(v, nk_pad)
+    g3 = to3t(g, nq_pad)
+    # D = rowsum(g * o) per q row, (BH, Nq_pad) fp32
+    dsum = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dsum = jnp.transpose(dsum, (0, 2, 1)).reshape(bq * h, nq)
+    if nq_pad != nq:
+        dsum = jnp.pad(dsum, ((0, 0), (0, nq_pad - nq)))
+    lse_p = lse if lse.shape[1] == nq_pad else jnp.pad(
+        lse, ((0, 0), (0, nq_pad - lse.shape[1]))
+    )
+
+    row_spec = lambda idx: pl.BlockSpec((1, block_q), idx,
+                                        memory_space=pltpu.VMEM)
+    # ---- dq: grid (BH, q blocks, kv blocks) ----
+    grid_dq = (bq * h, nq_pad // block_q, nk_pad // block_kv)
+    dq3 = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, kv_len=nk,
+                          block_kv=block_kv),
+        grid=grid_dq,
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_kv),
+                         lambda b, i, j: ((b // fh) * h + b % h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_kv),
+                         lambda b, i, j: ((b // fh) * h + b % h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            row_spec(lambda b, i, j: (b, i)),
+            row_spec(lambda b, i, j: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bq * h, nq_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, g3, lse_p, dsum)
+
+    # ---- dk/dv: grid (BkvH, kv blocks, rep * q blocks) ----
+    nqb = nq_pad // block_q
+    grid_kv = (bkv * h, nk_pad // block_kv, kv_repeat * nqb)
+
+    def q_index(b, j, t):
+        clip, head = b // h, b % h
+        return ((clip * kv_repeat + t // nqb) * h + head, 0, t % nqb)
+
+    def row_index(b, j, t):
+        clip, head = b // h, b % h
+        return ((clip * kv_repeat + t // nqb) * h + head, t % nqb)
+
+    dk3, dv3 = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, kv_len=nk,
+                          block_kv=block_kv),
+        grid=grid_kv,
+        in_specs=[
+            pl.BlockSpec((1, d, block_kv), lambda b, j, t: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_kv), lambda b, j, t: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_q), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, block_q), q_index, memory_space=pltpu.VMEM),
+            row_spec(row_index),
+            row_spec(row_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda b, j, t: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, j, t: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bkv * h, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bkv * h, nk_pad, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(k3, v3, q3, g3, lse_p, dsum)
+
+    def from3(x3, b, n_pad, n):
+        x = x3.reshape(b, h, n_pad, d)[:, :, :n, :]
+        return jnp.swapaxes(x, 1, 2)  # (b, n, h, d)
+
+    # q was pre-scaled by scale*log2e: ds'^T @ q_pre = scale*log2e*(ds'^T q),
+    # and dk wants scale*(ds'^T q) -> divide by log2e.  dq used raw k: * scale.
+    dq = from3(dq3, bq, nq_pad, nq) * scale
+    dk = from3(dk3, bkv, nk_pad, nk) * (1.0 / log2e)
+    dv = from3(dv3, bkv, nk_pad, nk)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -459,16 +733,56 @@ def _attention_pallas(q, k, v, kv_repeat, scale, interpret, static_max=None):
     )
 
 
+def _flash_bwd_mode(nk: int) -> str:
+    """'pallas' / 'pallas_interpret' / '' (XLA chunked backward).
+
+    Pallas backward engages on TPU for the long-sequence sites whose XLA
+    backward would materialize (bkv, rep, nq, nk) fp32 score tensors per
+    head (512px training: 2.1 GB/head).  I2V_FLASH_BWD forces a mode
+    ('xla' / 'pallas' / 'pallas_interpret'); I2V_FLASH_BWD_MIN moves the
+    dispatch threshold."""
+    import os
+
+    forced = os.environ.get("I2V_FLASH_BWD", "")
+    if forced:
+        return "" if forced == "xla" else forced
+    if _on_tpu() and nk >= int(os.environ.get("I2V_FLASH_BWD_MIN", "2048")):
+        return "pallas"
+    return ""
+
+
 def _attention_fwd(q, k, v, kv_repeat, scale, interpret, static_max):
+    if _flash_bwd_mode(k.shape[1]):
+        # stats-emitting forward: also save (o, lse) for the flash backward
+        import os
+
+        out, lse = flash_attention(
+            q, k, v, kv_repeat=kv_repeat, scale=scale,
+            block_q=512, block_kv=4096, interpret=interpret,
+            transposed_out=os.environ.get("I2V_FLASH_OUT_T", "1") == "1",
+            static_max=(
+                float(os.environ.get("I2V_FLASH_STATIC_MAX", "64"))
+                if static_max is None else static_max
+            ),
+            with_stats=True,
+        )
+        return out, (q, k, v, out, lse)
     out = _attention_pallas(q, k, v, kv_repeat, scale, interpret, static_max)
-    return out, (q, k, v)
+    return out, (q, k, v, None, None)
 
 
 def _attention_bwd(kv_repeat, scale, interpret, static_max, res, g):
+    q, k, v, o, lse = res
+    if lse is not None:
+        mode = _flash_bwd_mode(k.shape[1]) or "pallas"
+        return _flash_backward(
+            q, k, v, o, g, lse, kv_repeat=kv_repeat,
+            scale=scale if scale is not None else 1.0 / math.sqrt(q.shape[-1]),
+            interpret=interpret or mode == "pallas_interpret",
+        )
     # XLA backward, chunked over heads: the recomputed probs are
     # (bkv, rep, nq, nk) fp32 per head — materializing all heads at once
     # OOMs at training shapes (e.g. 8 x 128 MB x several sites live).
-    q, k, v = res
     bq, nq, h, d = q.shape
     bkv, nk, _, _ = k.shape
     if scale is None:
@@ -614,88 +928,9 @@ def _temporal_flash(
     )(q, k, v)
 
 
-def _temporal_kernel_hg(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """Head-gridded frame-attention: one (batch, s-block, head) program.
-
-    Versus _temporal_kernel4 (in-kernel head loop over a full-C block),
-    the head becomes a grid dimension and the C block is one head's d
-    channels — so the (F, bs, d)->(F, d, bs) relayouts happen once per
-    program on larger s-tiles instead of ``heads`` times on s=64-capped
-    tiles.  Candidate for the small-s sites whose einsum path pays a
-    materialized softmax (round-2 floor note: temporal ~48 -> ~20 ms)."""
-    fq = q_ref.shape[1]
-    q = q_ref[0]  # (Fq, bs, d)
-    k = k_ref[0]  # (F, bs, d)
-    v = v_ref[0]
-    qT = jnp.transpose(q, (0, 2, 1)).astype(jnp.float32) * scale  # (Fq,d,bs)
-    kT = jnp.transpose(k, (0, 2, 1)).astype(jnp.float32)
-    vT = jnp.transpose(v, (0, 2, 1)).astype(jnp.float32)
-    outs = []
-    for f in range(fq):
-        s = jnp.sum(qT[f][None] * kT, axis=1)  # (F, bs) log2-space
-        m = jnp.max(s, axis=0, keepdims=True)
-        p = jnp.exp2(s - m)
-        p = p / jnp.sum(p, axis=0, keepdims=True)
-        o_f = jnp.sum(p[:, None, :] * vT, axis=0)  # (d, bs)
-        outs.append(jnp.transpose(o_f, (1, 0)).astype(o_ref.dtype))
-    o_ref[0] = jnp.stack(outs, axis=0)
-
-
-def _temporal_flash_hg(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
-    block_s: int = 0, interpret: bool = False,
-) -> jnp.ndarray:
-    """Head-gridded pallas frame-attention; same contract as
-    _temporal_flash (q may carry fewer frames than k/v)."""
-    b, fq, s, c = q.shape
-    f = k.shape[1]
-    d = c // heads
-    scale = 1.4426950408889634 / math.sqrt(d)
-    if block_s == 0:
-        import os
-
-        # VMEM per program ~ 3 x (in bf16 + fp32 relayout) x F*block_s*d:
-        # block_s*d ~ 20K elements keeps it ~12 MB at F=16
-        base = int(os.environ.get("I2V_TEMPORAL_HG_BLOCK", "20480"))
-        block_s = max(8, base // d)
-    block_s = min(block_s, s)
-    if s % block_s != 0:
-        block_s = math.gcd(s, block_s)
-    grid = (b, s // block_s, heads)
-    qspec = pl.BlockSpec(
-        (1, fq, block_s, d), lambda bi, si, hi: (bi, 0, si, hi),
-        memory_space=pltpu.VMEM,
-    )
-    kvspec = pl.BlockSpec(
-        (1, f, block_s, d), lambda bi, si, hi: (bi, 0, si, hi),
-        memory_space=pltpu.VMEM,
-    )
-    return pl.pallas_call(
-        functools.partial(_temporal_kernel_hg, scale=scale),
-        grid=grid,
-        in_specs=[qspec, kvspec, kvspec],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((b, fq, s, c), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * heads * fq * f * s * d,
-            bytes_accessed=(2 * f + fq) * b * s * c * q.dtype.itemsize,
-            transcendentals=b * heads * fq * f * s,
-        ),
-        interpret=interpret,
-    )(q, k, v)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _temporal_pallas(q, k, v, heads, interpret):
     return _temporal_flash(q, k, v, heads=heads, interpret=interpret)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _temporal_pallas_hg(q, k, v, heads, interpret):
-    return _temporal_flash_hg(q, k, v, heads=heads, interpret=interpret)
 
 
 def _temporal_ref_mxu(q, k, v, heads):
@@ -731,13 +966,6 @@ def _temporal_bwd(heads, interpret, res, g):
 
 
 _temporal_pallas.defvjp(_temporal_fwd, _temporal_bwd)
-
-
-def _temporal_fwd_hg(q, k, v, heads, interpret):
-    return _temporal_pallas_hg(q, k, v, heads, interpret), (q, k, v)
-
-
-_temporal_pallas_hg.defvjp(_temporal_fwd_hg, _temporal_bwd)
 
 
 def temporal_attention(
@@ -790,10 +1018,9 @@ def temporal_attention(
             impl = os.environ["I2V_TEMPORAL_SMALL_IMPL"]
         else:
             impl = "vpu2" if s >= 2048 else "mxu"
-    if impl in ("pallas", "pallas_interpret", "pallas_hg", "pallas_hg_interpret"):
-        interp = impl.endswith("interpret")
-        hg = impl.startswith("pallas_hg")
-        flash_fn = _temporal_flash_hg if hg else _temporal_flash
+    if impl in ("pallas", "pallas_interpret"):
+        interp = impl == "pallas_interpret"
+        flash_fn = _temporal_flash
         from i2v_adapter_tpu.parallel.spmd import (
             current_attention_spmd,
             spmd_temporal_attention,
@@ -809,8 +1036,6 @@ def temporal_attention(
             )
             if out is not None:
                 return out
-        if hg:
-            return _temporal_pallas_hg(q, k, v, heads, interp)
         return _temporal_pallas(q, k, v, heads, interp)
     if impl == "mxu":
         scores = jnp.einsum(

@@ -49,12 +49,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["i2v", "t2i"],
                    help="'i2v': adapter/motion finetune on clips; 't2i': "
                         "full-UNet single-frame base finetune")
-    p.add_argument("--task_name", type=str, required=True)
-    p.add_argument("--pretrained_model_path", type=str, required=True,
+    p.add_argument("--task_name", type=str, default=None)
+    p.add_argument("--pretrained_model_path", type=str, default=None,
                    help="dir with unet/ vae/ text_encoder/ tokenizer/ "
                         "motion_adapter/ image_encoder/ ip_adapter/")
-    p.add_argument("--csv_path", type=str, required=True)
-    p.add_argument("--video_folder", type=str, required=True)
+    p.add_argument("--csv_path", type=str, default=None)
+    p.add_argument("--video_folder", type=str, default=None)
     p.add_argument("--eval_csv_path", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="checkpoint")
     p.add_argument("--resolution", type=int, default=256)
@@ -114,7 +114,32 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="sample eval GIFs every N epochs (0 = off)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
-    return p.parse_args(argv)
+    # ---- weak-scaling bench mode (no data/weights needed) ----
+    p.add_argument("--bench_scaling", action="store_true",
+                   help="time the pjit train step across mesh shapes on the "
+                        "available devices and write JSONL; ignores "
+                        "data/weight paths (synthetic batch, random params)")
+    p.add_argument("--bench_mesh_shapes", type=str,
+                   default="1,1,1;2,1,1;4,1,1;2,2,1;4,2,1;2,2,2",
+                   help="semicolon-separated data,fsdp,seq triples; shapes "
+                        "whose product exceeds the device count are skipped")
+    p.add_argument("--bench_steps", type=int, default=4,
+                   help="timed steps per mesh shape (after 1 compile step)")
+    p.add_argument("--bench_model", type=str, default="sd15",
+                   choices=["sd15", "tiny"],
+                   help="tiny = CPU-sim proof run; sd15 = real shape")
+    p.add_argument("--bench_output", type=str, default="bench_scaling.jsonl")
+    args = p.parse_args(argv)
+    if not args.bench_scaling:
+        missing = [
+            n for n in ("task_name", "pretrained_model_path", "csv_path",
+                        "video_folder")
+            if getattr(args, n) is None
+        ]
+        if missing:
+            p.error(f"the following arguments are required: "
+                    f"{', '.join('--' + m for m in missing)}")
+    return args
 
 
 def args_to_train_config(args) -> TrainConfig:
@@ -438,8 +463,150 @@ def _run_validation(args, pipe, state, model_config, task_dir, epoch):
     logger.info("validation GIFs -> %s", out_dir)
 
 
+def bench_scaling(args, model_config: Optional[I2VModelConfig] = None) -> list:
+    """Weak-scaling harness (VERDICT r2 #7): time the pjit train step across
+    mesh shapes on whatever devices exist and append JSONL records.
+
+    Weak scaling: the global batch is ``train_batch_size`` PER (data x fsdp)
+    way, so per-device work is constant and the ideal curve is flat step
+    time.  Run on the CPU-sim mesh (tiny model) to prove the tooling; on
+    real v5e-8 with ``--bench_model sd15`` for the production number.
+    Reference analogue: `accelerate launch` multi-GPU timing
+    (/root/reference/src/train_image_to_video.py:734-736), which the
+    reference never instruments."""
+    from i2v_adapter_tpu.config import tiny_test_config
+    from i2v_adapter_tpu.models import (
+        AutoencoderKL,
+        CLIPTextEncoder,
+        CLIPVisionEncoder,
+        VideoUNet,
+    )
+    from i2v_adapter_tpu.parallel.mesh import train_state_shardings
+
+    logging.basicConfig(level=logging.INFO)
+    tc0 = args_to_train_config(args)
+    if args.bench_model == "tiny":
+        mc = tiny_test_config()
+        res, frames = 32, 4
+    else:
+        mc = model_config or I2VModelConfig()
+        res, frames = tc0.resolution, tc0.num_frames
+
+    devices = jax.devices()
+    shapes = []
+    for part in args.bench_mesh_shapes.split(";"):
+        d, f, s = (int(x) for x in part.split(","))
+        if d * f * s <= len(devices):
+            shapes.append((d, f, s))
+
+    rng = jax.random.PRNGKey(0)
+    lat = res // mc.vae.spatial_scale_factor
+    unet = VideoUNet(mc.unet)
+    vae = AutoencoderKL(mc.vae)
+    text_enc = CLIPTextEncoder(mc.text_encoder)
+    img_enc = CLIPVisionEncoder(mc.image_encoder)
+    img_size = mc.image_encoder.image_size
+    tok_len = 8 if args.bench_model == "tiny" else 77
+
+    sample = jnp.zeros((1, frames, lat, lat, 4))
+    text = jnp.zeros((1, tok_len, mc.unet.cross_attention_dim))
+    img = jnp.zeros((1, mc.unet.image_embed_dim))
+    unet_params = unet.init(rng, sample, jnp.zeros((1,)), text, img,
+                            enable_cross_frame_attn=True)
+    vae_params = vae.init(rng, jnp.zeros((1, res, res, 3)))
+    text_params = text_enc.init(rng, jnp.zeros((1, tok_len), jnp.int32))
+    img_params = img_enc.init(rng, jnp.zeros((1, img_size, img_size, 3)))
+
+    records = []
+    rng_np = np.random.default_rng(0)
+    for d, fshard, s in shapes:
+        n = d * fshard * s
+        mesh = create_mesh(
+            MeshConfig(data=d, fsdp=fshard, seq=s), devices[:n]
+        )
+        batch_size = tc0.train_batch_size * d * fshard  # weak scaling
+        if frames % s != 0:
+            logger.warning("skip mesh %s: frames %d %% seq %d", (d, fshard, s),
+                           frames, s)
+            continue
+        tc = tc0.replace(
+            resolution=res, num_frames=frames, train_batch_size=batch_size,
+            gradient_accumulation_steps=1,
+            mesh=MeshConfig(data=d, fsdp=fshard, seq=s),
+            mixed_precision="none" if args.bench_model == "tiny"
+            else tc0.mixed_precision,
+        )
+        # fresh copies per mesh shape: the pjit step donates its state, so
+        # the previous iteration's run deletes the shared source buffers
+        copy = lambda t: jax.tree.map(jnp.array, t)
+        state, _ = create_train_state(
+            copy(unet_params), tc, 100, vae_params=copy(vae_params),
+            text_params=copy(text_params), image_params=copy(img_params),
+        )
+        tx = make_optimizer(tc, 100)
+        shardings = train_state_shardings(state, mesh)
+        state = jax.device_put(state, shardings)
+        step_fn = make_train_step(mc, tc, tx, mesh=mesh,
+                                  state_shardings=shardings)
+        batch = {
+            "pixel_values": rng_np.standard_normal(
+                (batch_size, frames, res, res, 3)).astype(np.float32),
+            "text_ids": rng_np.integers(
+                0, 100, (batch_size, tok_len)).astype(np.int32),
+            "uncond_ids": np.zeros((batch_size, tok_len), np.int32),
+            "clip_image": rng_np.standard_normal(
+                (batch_size, img_size, img_size, 3)).astype(np.float32),
+        }
+        with mesh:
+            dev_batch = {
+                k: jax.device_put(
+                    v,
+                    batch_sharding(
+                        mesh, v.ndim,
+                        frame_axis=1 if k == "pixel_values" else None,
+                    ),
+                )
+                for k, v in batch.items()
+            }
+            t0 = time.time()
+            state, metrics = step_fn(state, dev_batch, jax.random.PRNGKey(1))
+            _ = float(metrics["loss"])  # readback = sync (block_until_ready
+            # is a no-op on the axon tunnel)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for i in range(args.bench_steps):
+                state, metrics = step_fn(
+                    state, dev_batch, jax.random.PRNGKey(2 + i)
+                )
+            loss = float(metrics["loss"])
+            total = time.time() - t0
+        step_s = total / args.bench_steps
+        rec = {
+            "mesh": {"data": d, "fsdp": fshard, "seq": s},
+            "devices": n,
+            "model": args.bench_model,
+            "resolution": res,
+            "num_frames": frames,
+            "global_batch": batch_size,
+            "step_time_s": round(step_s, 4),
+            "clips_per_s": round(batch_size / step_s, 3),
+            "clips_per_s_per_device": round(batch_size / step_s / n, 3),
+            "compile_s": round(compile_s, 1),
+            "loss": loss,
+        }
+        records.append(rec)
+        logger.info("bench_scaling: %s", rec)
+        with open(args.bench_output, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    return records
+
+
 def main(argv=None):
     args = parse_args(argv)
+    if args.bench_scaling:
+        records = bench_scaling(args)
+        print(json.dumps(records))
+        return
     result = train(args)
     print(json.dumps(result))
 

@@ -183,48 +183,6 @@ def test_temporal_attention_pallas_matches_f64(rng):
     np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-4, atol=1e-5)
 
 
-def test_temporal_attention_pallas_hg_matches_f64(rng):
-    """Head-gridded kernel variant (one head per program via a C-slicing
-    BlockSpec) against a float64 gold reference, incl. the query-frame-
-    sliced contract (Fq < F) used by the SPMD seq-sharded path."""
-    import math
-
-    from i2v_adapter_tpu.ops.attention import (
-        _temporal_flash_hg,
-        temporal_attention,
-    )
-
-    b, f, s, c, h = 2, 4, 8, 16, 2
-    d = c // h
-    q = rng.standard_normal((b, f, s, c)).astype(np.float32)
-    k = rng.standard_normal((b, f, s, c)).astype(np.float32)
-    v = rng.standard_normal((b, f, s, c)).astype(np.float32)
-
-    qh = q.astype(np.float64).reshape(b, f, s, h, d)
-    kh = k.astype(np.float64).reshape(b, f, s, h, d)
-    vh = v.astype(np.float64).reshape(b, f, s, h, d)
-    scores = np.einsum("bfshd,bgshd->bshfg", qh, kh) / math.sqrt(d)
-    scores -= scores.max(axis=-1, keepdims=True)
-    p = np.exp(scores)
-    p /= p.sum(axis=-1, keepdims=True)
-    gold = np.einsum("bshfg,bgshd->bfshd", p, vh).reshape(b, f, s, c)
-
-    got = temporal_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=h,
-        impl="pallas_hg_interpret",
-    )
-    np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-4, atol=1e-5)
-
-    # query-frame slicing: frames 1..2 against full K/V
-    sliced = _temporal_flash_hg(
-        jnp.asarray(q[:, 1:3]), jnp.asarray(k), jnp.asarray(v), heads=h,
-        interpret=True,
-    )
-    np.testing.assert_allclose(
-        np.asarray(sliced), gold[:, 1:3], rtol=1e-4, atol=1e-5
-    )
-
-
 def test_temporal_attention_pallas_backward_matches_mxu(rng):
     """custom_vjp backward of the pallas temporal path == autodiff of the
     einsum reference."""
@@ -289,3 +247,82 @@ def test_layernorm_mm_matches_flax(rng):
     got = LayerNormMM(epsilon=1e-5).apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kv_repeat", [1, 4])
+def test_flash_pallas_backward_matches_xla(rng, monkeypatch, kv_repeat):
+    """Pallas flash backward (blockwise recompute + saved log2 lse) vs the
+    autodiff of xla_attention, incl. the cross-frame kv_repeat fan-in
+    (VERDICT r2 #6)."""
+    from i2v_adapter_tpu.ops.attention import (
+        dot_product_attention,
+        xla_attention,
+    )
+
+    bkv, nk, h, d = 2, 24, 2, 8
+    nq = 16
+    bq = bkv * kv_repeat
+    q = jnp.asarray(rng.standard_normal((bq, nq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bkv, nk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bkv, nk, h, d)).astype(np.float32))
+
+    def loss_fn(attn):
+        def f(q, k, v):
+            out = attn(q, k, v)
+            return jnp.sum(jnp.sin(out))
+
+        return f
+
+    monkeypatch.setenv("I2V_FLASH_BWD", "pallas_interpret")
+    g_pallas = jax.grad(
+        loss_fn(lambda q, k, v: dot_product_attention(
+            q, k, v, kv_repeat=kv_repeat, impl="pallas_interpret",
+            static_max=64.0,
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    monkeypatch.setenv("I2V_FLASH_BWD", "xla")
+    g_ref = jax.grad(
+        loss_fn(lambda q, k, v: xla_attention(q, k, v, kv_repeat=kv_repeat)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for got, want, name in zip(g_pallas, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_pallas_backward_blocked_shapes(rng, monkeypatch):
+    """Backward across multiple q/kv blocks with padding (non-divisible
+    lengths force the mask paths)."""
+    from i2v_adapter_tpu.ops.attention import _flash_backward, xla_attention
+
+    bkv, nk, h, d, nq = 1, 40, 2, 8, 24
+    q = jnp.asarray(rng.standard_normal((bkv, nq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bkv, nk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bkv, nk, h, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((bkv, nq, h, d)).astype(np.float32))
+
+    # reference via autodiff
+    out, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v), q, k, v)
+    want = vjp(g)
+
+    # forward stats via the interpret kernel (small blocks force >1 block
+    # per axis and the padding masks)
+    from i2v_adapter_tpu.ops.attention import flash_attention
+
+    o, lse = flash_attention(
+        q, k, v, block_q=8, block_kv=16, interpret=True, with_stats=True,
+        static_max=64.0,
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(out), atol=2e-5)
+    got = _flash_backward(
+        q, k, v, o, g, lse, kv_repeat=1, scale=1.0 / np.sqrt(d),
+        interpret=True, block_q=8, block_kv=16,
+    )
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name} mismatch",
+        )
