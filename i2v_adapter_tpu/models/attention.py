@@ -28,8 +28,12 @@ class _ProjKernel(nn.Module):
     """Bias-free projection kernel declared under the SAME param path as
     ``nn.Dense(name=...)`` (``<name>/kernel``, lecun-normal init) but
     returned as a weight so call sites can concatenate several projections
-    into one matmul (I2V_FUSE_QKV): 3x (N,320)@(320,320) -> (N,320)@(320,960)
-    keeps the MXU busy on one wide pass instead of three narrow ones."""
+    into one matmul (I2V_FUSE_QKV): 3x (N,320)@(320,320) -> (N,320)@(320,960).
+
+    Measured on v5e (512px UNet step, round 3): 407.2 vs 388.6 ms — the
+    runtime kernel concat + wide matmul LOSES to XLA's scheduling of the
+    three narrow dots, so the knob defaults off; kept (identical param
+    tree, equivalence-tested) for hardware where the trade differs."""
 
     features: int
 

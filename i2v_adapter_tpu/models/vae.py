@@ -195,7 +195,13 @@ def decode_sharded(apply_fn, params, z: jnp.ndarray, mesh):
     """Frame-parallel VAE decode over a device mesh: frames sharded on the
     (data, fsdp) axes, decoder params replicated.  The 64-frame/768px
     equivalent the reference lacks (its VAE strategies are single-device
-    slicing/tiling — SURVEY.md §2.5)."""
+    slicing/tiling — SURVEY.md §2.5).
+
+    This is the standalone eager-mode entry point; the mesh-sharded sampler
+    wires the same frame-parallel decode INSIDE its jitted graph via a
+    sharding constraint (pipelines/i2v_pipeline.py ``shard_flat`` — frames
+    over the (data, seq) axes), so ``enable_mesh`` serving gets it
+    automatically."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS

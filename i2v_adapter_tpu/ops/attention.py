@@ -218,12 +218,14 @@ def _flash_kernel_t(
         if lse_ref is not None:
             # log2-space logsumexp per q row (the softmax denominator the
             # flash backward needs): m + log2(l); under the static offset
-            # m == static_max identically.
+            # m == static_max identically.  Ref block is (1, 1, block_q) —
+            # Mosaic requires the last two block dims be (8,128)-divisible
+            # or full, which a 2-D (1, block_q) row block violates.
             m_term = (
                 jnp.float32(static_max) if static_max else m_scratch[:, :1]
             )
             lse = m_term + jnp.log2(l_scratch[:, :1])  # (block_q, 1)
-            lse_ref[0] = jnp.transpose(lse, (1, 0))[0]
+            lse_ref[0] = jnp.transpose(lse, (1, 0))
 
 
 def _flash_forward_t(
@@ -281,10 +283,12 @@ def _flash_forward_t(
             )
 
         out_specs.append(
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM)
         )
-        out_shapes.append(jax.ShapeDtypeStruct((bh, nq_pad), jnp.float32))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32)
+        )
     result = pl.pallas_call(
         kernel,
         grid=grid,
@@ -437,6 +441,7 @@ def flash_attention(
         lse = None
         if with_stats:
             o3, lse = o3
+            lse = lse[:, 0]  # (BH, Nq_pad)
         if transposed_out:
             # (BH, D, N) -> (B, Nq, H, D); N-minor stays physical, so the
             # logical transpose is layout-foldable into the to_out matmul.
@@ -498,13 +503,13 @@ def _flash_bwd_dq_kernel(
     if kv_len % block_kv != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
         s = jnp.where(col < kv_len, s, -jnp.inf)
-    lse = jnp.transpose(lse_ref[...], (1, 0))  # (block_q, 1)
+    lse = jnp.transpose(lse_ref[0], (1, 0))  # (block_q, 1)
     p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(
         g_ref[0], v_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (block_q, block_kv)
-    dsum = jnp.transpose(dsum_ref[...], (1, 0))  # (block_q, 1)
+    dsum = jnp.transpose(dsum_ref[0], (1, 0))  # (block_q, 1)
     ds = p * (dp - dsum)
     acc[:] += jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (1,)), ((), ())),
@@ -545,7 +550,7 @@ def _flash_bwd_dkv_kernel(
             + pl.program_id(1) * block_kv
         )
         s_t = jnp.where(row < kv_len, s_t, -jnp.inf)
-    p_t = jnp.exp2(s_t - lse_ref[...])  # lse (1, block_q) broadcasts
+    p_t = jnp.exp2(s_t - lse_ref[0])  # lse (1, block_q) broadcasts
     dv_acc[:] += jax.lax.dot_general(
         p_t.astype(g_ref.dtype), g_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -554,7 +559,7 @@ def _flash_bwd_dkv_kernel(
         v_ref[0], g_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (block_kv, block_q)
-    ds_t = p_t * (dp_t - dsum_ref[...])
+    ds_t = p_t * (dp_t - dsum_ref[0])
     dk_acc[:] += jax.lax.dot_general(
         ds_t.astype(q_ref.dtype), q_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -607,8 +612,11 @@ def _flash_backward(
     lse_p = lse if lse.shape[1] == nq_pad else jnp.pad(
         lse, ((0, 0), (0, nq_pad - lse.shape[1]))
     )
+    # (BH, 1, Nq_pad): row blocks must be 3-D — see the forward stats note
+    dsum = dsum[:, None, :]
+    lse_p = lse_p[:, None, :]
 
-    row_spec = lambda idx: pl.BlockSpec((1, block_q), idx,
+    row_spec = lambda idx: pl.BlockSpec((1, 1, block_q), idx,
                                         memory_space=pltpu.VMEM)
     # ---- dq: grid (BH, q blocks, kv blocks) ----
     grid_dq = (bq * h, nq_pad // block_q, nk_pad // block_kv)
@@ -627,8 +635,8 @@ def _flash_backward(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            row_spec(lambda b, i, j: (b, i)),
-            row_spec(lambda b, i, j: (b, i)),
+            row_spec(lambda b, i, j: (b, 0, i)),
+            row_spec(lambda b, i, j: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -650,7 +658,7 @@ def _flash_backward(
 
     def row_index(b, j, t):
         clip, head = b // h, b % h
-        return ((clip * kv_repeat + t // nqb) * h + head, t % nqb)
+        return ((clip * kv_repeat + t // nqb) * h + head, 0, t % nqb)
 
     dk3, dv3 = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, kv_len=nk,
