@@ -899,10 +899,15 @@ def _temporal_flash(
         # grows to stay inside the 16 MB scoped-VMEM limit (at C=320,
         # block_s 256/128 measured 24.0/19.2 MB: 3 double-buffered inputs
         # + per-head staging; 64 fits).  I2V_TEMPORAL_BLOCK_S overrides the
-        # C=320 base (use with --xla_tpu_scoped_vmem_limit_kib).
+        # C=320 base (use with --xla_tpu_scoped_vmem_limit_kib).  The base
+        # is calibrated for bf16 inputs; fp32 (training with fp32 frozen
+        # params) doubles every buffer, so halve the block (measured: the
+        # bf16 block at fp32 overruns scoped vmem 18 MB > 16 MB).
         import os
 
         base = int(os.environ.get("I2V_TEMPORAL_BLOCK_S", "64"))
+        if q.dtype.itemsize >= 4:
+            base //= 2
         block_s = max(8, base * 320 // c)
     block_s = min(block_s, s)
     if s % block_s != 0:  # spatial sites are powers of two; be safe

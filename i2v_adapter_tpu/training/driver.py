@@ -85,6 +85,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--prediction_type", type=str, default=None)
     p.add_argument("--mixed_precision", type=str, default="bfloat16",
                    choices=["none", "bfloat16"])
+    p.add_argument("--freeze_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for frozen params (UNet backbone, "
+                        "VAE, CLIP) — the reference casts frozen models to "
+                        "fp16 (train_image_to_video.py:743-754); bfloat16 "
+                        "halves their HBM (needed for 512px on 16 GB)")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--update_motion_modules", action="store_true")
@@ -164,6 +170,7 @@ def args_to_train_config(args) -> TrainConfig:
         first_frame_mode=args.first_frame_mode,
         gradient_checkpointing=args.gradient_checkpointing,
         mixed_precision=args.mixed_precision,
+        freeze_dtype=args.freeze_dtype,
         use_ema=args.use_ema,
         optimizer=OptimizerConfig(
             learning_rate=args.learning_rate,
