@@ -80,3 +80,40 @@ def test_from_pretrained_loads_adapter_and_ip(tmp_path):
     )
     # IP K/V installed
     assert f"{site}/attn2/to_k_ip/kernel" in flat
+
+
+def test_cli_mesh_flag_parses_and_enables(tmp_path):
+    """--mesh 'data,tensor,seq' builds a serving mesh and shards the
+    pipeline (full CLI path is exercised in test_parallel_infer; here the
+    flag plumbing + enable_mesh on a from_pretrained pipeline)."""
+    import jax
+
+    from i2v_adapter_tpu.config import MeshConfig, PipelineConfig
+    from i2v_adapter_tpu.parallel.mesh import create_mesh
+    from i2v_adapter_tpu.pipelines.i2v_pipeline import I2VAdapterPipeline
+
+    args = cli.parse_args([
+        "--task_name", "t", "--pretrained_model_path", "x",
+        "--eval_csv_path", "y", "--mesh", "2,1,2",
+    ])
+    assert args.mesh == "2,1,2"
+
+    rng = np.random.default_rng(3)
+    pretrained = write_pretrained_dir(str(tmp_path / "ckpt"), rng)
+    pipe = I2VAdapterPipeline.from_pretrained(
+        pretrained, model_config=tiny_test_config(),
+        pipeline_config=PipelineConfig(
+            num_frames=2, height=32, width=32, num_inference_steps=2,
+            dtype="float32", blur_sigma=1.0,
+        ),
+    )
+    d, t, s = (int(x) for x in args.mesh.split(","))
+    mesh = create_mesh(
+        MeshConfig(data=d, fsdp=1, tensor=t, seq=s),
+        jax.devices()[: d * t * s],
+    )
+    pipe.enable_mesh(mesh)
+    video = pipe("a cat", condition_image=np.zeros((32, 32, 3), np.uint8),
+                 seed=0)
+    assert video.shape == (1, 2, 32, 32, 3)
+    pipe.disable_mesh()
