@@ -349,6 +349,12 @@ class TrainConfig(_ConfigBase):
     # 'exact' restores the clean first frame (train_i2v_adapter.py:99-103).
     first_frame_mode: str = "scaled"
     gradient_checkpointing: bool = False
+    # VAE-encode the batch ``vae_encode_slice`` frames at a time inside the
+    # train step (0 = full batch).  At 512px x 16 frames the full-batch
+    # encoder features peak ~4.3 GB; slicing bounds it (the reference's
+    # analogous pattern is the offline encoder's sliced encode,
+    # tools/encode_video.py:73-88).
+    vae_encode_slice: int = 0
     mixed_precision: str = "bfloat16"  # "none" | "bfloat16"
     # Storage dtype for frozen params (UNet backbone, VAE, CLIP) — the
     # reference casts frozen models to the mixed-precision dtype

@@ -92,6 +92,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "fp16 (train_image_to_video.py:743-754); bfloat16 "
                         "halves their HBM (needed for 512px on 16 GB)")
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--vae_encode_slice", type=int, default=0,
+                   help="VAE-encode N frames at a time in the train step "
+                        "(0 = full batch); bounds encoder memory at 512px")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--update_motion_modules", action="store_true")
     p.add_argument("--uncond_prob_t", type=float, default=0.0)
@@ -169,6 +172,7 @@ def args_to_train_config(args) -> TrainConfig:
         uncond_prob_ti=args.uncond_prob_ti,
         first_frame_mode=args.first_frame_mode,
         gradient_checkpointing=args.gradient_checkpointing,
+        vae_encode_slice=args.vae_encode_slice,
         mixed_precision=args.mixed_precision,
         freeze_dtype=args.freeze_dtype,
         use_ema=args.use_ema,

@@ -124,10 +124,29 @@ def make_train_step(
 
         # ---- frozen encoders (no grad flows into them) ----
         flat_pixels = pixels.reshape((b * f,) + pixels.shape[2:]).astype(dtype)
-        latents = (
-            vae.apply(state.vae, flat_pixels, rng_vae, method=vae.encode)
-            * model_config.vae.scaling_factor
-        )
+        slice_n = tc.vae_encode_slice
+        if slice_n > 0 and flat_pixels.shape[0] % slice_n == 0:
+            # sliced encode (reference tools/encode_video.py:73-88 pattern):
+            # at 512px x 16 frames the full-batch encoder peaks ~4.3 GB of
+            # features — lax.map bounds it to slice_n frames at a time
+            chunks = flat_pixels.reshape(
+                (flat_pixels.shape[0] // slice_n, slice_n)
+                + flat_pixels.shape[1:]
+            )
+            keys = jax.random.split(rng_vae, chunks.shape[0])
+            latents = jax.lax.map(
+                lambda args: vae.apply(
+                    state.vae, args[0], args[1], method=vae.encode
+                ),
+                (chunks, keys),
+            )
+            latents = latents.reshape((b * f,) + latents.shape[2:])
+            latents = latents * model_config.vae.scaling_factor
+        else:
+            latents = (
+                vae.apply(state.vae, flat_pixels, rng_vae, method=vae.encode)
+                * model_config.vae.scaling_factor
+            )
         latents = latents.reshape((b, f) + latents.shape[1:]).astype(jnp.float32)
 
         # ---- CFG condition dropout (train_i2v_adapter.py:69-92) ----

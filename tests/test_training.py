@@ -357,3 +357,26 @@ def test_train_step_sequence_parallel_matches_replicated(all_params):
         jax.tree.map(np.asarray, state2.trainable), ref_state.trainable,
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_train_step_sliced_vae_encode(all_params):
+    """vae_encode_slice bounds encoder memory (512px enabler); the sliced
+    step must train normally (finite loss, trainable params move)."""
+    unet_params, vae_params, text_params, img_params = all_params
+    tc = TrainConfig(
+        train_batch_size=B, num_frames=F, resolution=RES,
+        gradient_accumulation_steps=1, mixed_precision="none",
+        vae_encode_slice=2,
+    )
+    state, _ = create_train_state(
+        unet_params, tc, 10, vae_params, text_params, img_params
+    )
+    tx = make_optimizer(tc, 10)
+    step_fn = make_train_step(MC, tc, tx, donate=False)
+    state2, metrics = step_fn(state, _batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.trainable,
+        state2.trainable,
+    )
+    assert max(jax.tree.leaves(moved)) > 0
