@@ -500,13 +500,16 @@ class I2VAdapterPipeline:
                     from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
 
                     # anchored windows prepend the global first frame, so the
-                    # window must leave room under the motion positional cap
+                    # window must leave room under the motion positional cap.
+                    # Forward chunking composes: each window's CFG-doubled
+                    # clip batch is itself chunked (64-frame 768px windows
+                    # measured 13.9 GB unchunked — over the 15.75 GB chip).
                     window = min(
                         pcfg.temporal_window, cfg.unet.motion_max_seq_length - 1
                     )
                     stride = max(1, min(pcfg.temporal_stride, window - 1))
                     noise_pred = tiled_unet_call(
-                        lambda x, anchored: unet_call(x, anchored),
+                        lambda x, anchored: chunked_unet_call(x),
                         model_in,
                         window=window,
                         stride=stride,
@@ -677,10 +680,17 @@ class I2VAdapterPipeline:
         evals = batch * num_frames * (2 if use_cfg else 1)
         if not memory_unsafe:
             self._check_memory_envelope(evals, height, width, batch)
+        sf = self.config.vae.spatial_scale_factor
+        tokens = (height // sf) * (width // sf)
         if unet_chunk == 0:
-            unet_chunk = 2 if evals >= 256 else 1
+            # token-scaled: 256 evals at 512px (4096 tokens) and 128 evals
+            # at 768px both exceed one chip unchunked
+            unet_chunk = 2 if evals * tokens >= 256 * 4096 else 1
         if decode_slice == 0 and batch * num_frames > 64:
             decode_slice = 32
+        if decode_slice == 0 and tokens > 4096 and batch * num_frames > 8:
+            # 768px-class decode: 8 frames of decoder features ~ 5 GB
+            decode_slice = 2
 
         fn = self._sampler(
             batch, num_frames, height, width, steps, float(strength),

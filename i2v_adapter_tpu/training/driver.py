@@ -522,11 +522,15 @@ def bench_scaling(args, model_config: Optional[I2VModelConfig] = None) -> list:
     sample = jnp.zeros((1, frames, lat, lat, 4))
     text = jnp.zeros((1, tok_len, mc.unet.cross_attention_dim))
     img = jnp.zeros((1, mc.unet.image_embed_dim))
-    unet_params = unet.init(rng, sample, jnp.zeros((1,)), text, img,
-                            enable_cross_frame_attn=True)
-    vae_params = vae.init(rng, jnp.zeros((1, res, res, 3)))
-    text_params = text_enc.init(rng, jnp.zeros((1, tok_len), jnp.int32))
-    img_params = img_enc.init(rng, jnp.zeros((1, img_size, img_size, 3)))
+    # master params live on HOST: device-resident fp32 masters (8.9 GB at
+    # SD1.5 scale) would otherwise stay alive across the whole sweep and
+    # OOM the 16 GB chip alongside the step's own working set
+    host = lambda t: jax.tree.map(np.asarray, t)
+    unet_params = host(unet.init(rng, sample, jnp.zeros((1,)), text, img,
+                                 enable_cross_frame_attn=True))
+    vae_params = host(vae.init(rng, jnp.zeros((1, res, res, 3))))
+    text_params = host(text_enc.init(rng, jnp.zeros((1, tok_len), jnp.int32)))
+    img_params = host(img_enc.init(rng, jnp.zeros((1, img_size, img_size, 3))))
 
     records = []
     rng_np = np.random.default_rng(0)
@@ -547,12 +551,12 @@ def bench_scaling(args, model_config: Optional[I2VModelConfig] = None) -> list:
             mixed_precision="none" if args.bench_model == "tiny"
             else tc0.mixed_precision,
         )
-        # fresh copies per mesh shape: the pjit step donates its state, so
-        # the previous iteration's run deletes the shared source buffers
-        copy = lambda t: jax.tree.map(jnp.array, t)
+        # host masters are immune to the pjit step's buffer donation, and
+        # create_train_state's per-leaf casts only materialize one fp32
+        # device leaf at a time
         state, _ = create_train_state(
-            copy(unet_params), tc, 100, vae_params=copy(vae_params),
-            text_params=copy(text_params), image_params=copy(img_params),
+            unet_params, tc, 100, vae_params=vae_params,
+            text_params=text_params, image_params=img_params,
         )
         tx = make_optimizer(tc, 100)
         shardings = train_state_shardings(state, mesh)
