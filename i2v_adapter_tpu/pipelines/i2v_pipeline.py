@@ -298,7 +298,7 @@ class I2VAdapterPipeline:
             cache[key] = self._build_sampler(*key[:-1])
         return cache[key]
 
-    def _build_sampler(
+    def _build_parts(
         self,
         batch: int,
         num_frames: int,
@@ -313,6 +313,21 @@ class I2VAdapterPipeline:
         vae_tiling: bool = False,
         unet_chunk: int = 1,
     ):
+        """Build the sampler as three pure functions plus the schedule:
+
+          ``prep_fn(params, text_ids, cond_image, clip_image, rng)
+              -> (carry, consts)`` — encoders, VAE encode, similarity prior
+          ``step_fn(params, consts, carry, t, t_prev) -> carry`` — one
+              CFG denoise step (``carry = (latents, eta_key)``, ``consts =
+              (cond_latents, text_states, image_embeds)``)
+          ``decode_fn(params, consts, latents) -> video`` — final
+              first-frame clamp + VAE decode
+
+        ``_build_sampler`` fuses them into one jit + ``lax.scan`` (the
+        fast path: no host round-trips inside a clip); ``_stepwise_sampler``
+        jits them separately and drives the loop from the host so that no
+        single device dispatch runs for minutes (the axon tunnel kills
+        multi-minute dispatches — see BASELINE.md config 5)."""
         cfg = self.config
         schedule = self.schedule
         scale = cfg.vae.scaling_factor
@@ -367,7 +382,11 @@ class I2VAdapterPipeline:
         else:
             shard_evals = shard_frames = shard_flat = lambda x: x
 
-        def sample_fn(params, text_ids, cond_image, clip_image, rng):
+        # clips beyond the motion positional cap use windowed denoising
+        use_tiling = num_frames > cfg.unet.motion_max_seq_length
+        eta = pcfg.eta
+
+        def prep_fn(params, text_ids, cond_image, clip_image, rng):
             # text_ids: (2B or B, L); cond_image: (B, H, W, 3) in [-1, 1];
             # clip_image: (B, 224, 224, 3) CLIP-normalized.
             (rng_noise, rng_prior, rng_mask, rng_vae, rng_sigma,
@@ -438,104 +457,101 @@ class I2VAdapterPipeline:
                     dtype=jnp.float32,
                 )
             latents = shard_frames(latents)
+            return (latents, rng_eta), (cond_latents, text_states, image_embeds)
 
-            # clips beyond the motion positional cap use windowed denoising
-            use_tiling = f > cfg.unet.motion_max_seq_length
+        def step_fn(params, consts, carry, t, tp):
+            # one CFG denoise step; `t`/`tp` are traced 0-d arrays so a
+            # single compile serves every schedule step in both the fused
+            # lax.scan and the host-driven stepwise loop.
+            cond_latents, text_states, image_embeds = consts
+            latents, step_key = carry
+            if has_condition:
+                latents = latents.at[:, 0].set(cond_latents.astype(latents.dtype))
+            model_in = (
+                jnp.concatenate([latents] * 2, axis=0) if use_cfg else latents
+            )
+            model_in = shard_evals(model_in)
 
-            eta = pcfg.eta
+            def unet_call(x, anchored=False):
+                return self.unet.apply(
+                    params["unet"],
+                    x.astype(self.dtype),
+                    jnp.full((x.shape[0],), t),
+                    text_states,
+                    image_embeds,
+                    enable_cross_frame_attn=has_condition,
+                ).astype(jnp.float32)
 
-            def denoise_step(carry, t_pair):
-                latents, step_key = carry
-                t, tp = t_pair
-                if has_condition:
-                    latents = latents.at[:, 0].set(cond_latents.astype(latents.dtype))
-                model_in = (
-                    jnp.concatenate([latents] * 2, axis=0) if use_cfg else latents
-                )
-                model_in = shard_evals(model_in)
+            def chunked_unet_call(x):
+                # UNet forward chunking (the reference's
+                # enable_forward_chunking analogue, unet_motion_cross_
+                # frame_attn.py:1163-1191): lax.map the UNet over clip
+                # sub-batches so peak activation memory scales with the
+                # chunk, not the whole serving batch.
+                bsz = x.shape[0]
+                if unet_chunk <= 1 or bsz % unet_chunk != 0:
+                    return unet_call(x)
+                per = bsz // unet_chunk
 
-                def unet_call(x, anchored=False):
+                def one(args):
+                    xc, tsc, iec = args
                     return self.unet.apply(
                         params["unet"],
-                        x.astype(self.dtype),
-                        jnp.full((x.shape[0],), t),
-                        text_states,
-                        image_embeds,
+                        xc.astype(self.dtype),
+                        jnp.full((xc.shape[0],), t),
+                        tsc,
+                        iec,
                         enable_cross_frame_attn=has_condition,
                     ).astype(jnp.float32)
 
-                def chunked_unet_call(x):
-                    # UNet forward chunking (the reference's
-                    # enable_forward_chunking analogue, unet_motion_cross_
-                    # frame_attn.py:1163-1191): lax.map the UNet over clip
-                    # sub-batches so peak activation memory scales with the
-                    # chunk, not the whole serving batch.
-                    bsz = x.shape[0]
-                    if unet_chunk <= 1 or bsz % unet_chunk != 0:
-                        return unet_call(x)
-                    per = bsz // unet_chunk
-
-                    def one(args):
-                        xc, tsc, iec = args
-                        return self.unet.apply(
-                            params["unet"],
-                            xc.astype(self.dtype),
-                            jnp.full((xc.shape[0],), t),
-                            tsc,
-                            iec,
-                            enable_cross_frame_attn=has_condition,
-                        ).astype(jnp.float32)
-
-                    chunk = lambda a: (
-                        None if a is None
-                        else a.reshape((unet_chunk, per) + a.shape[1:])
-                    )
-                    out = jax.lax.map(
-                        one,
-                        (chunk(x), chunk(text_states), chunk(image_embeds)),
-                    )
-                    return out.reshape((bsz,) + out.shape[2:])
-
-                if use_tiling:
-                    from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
-
-                    # anchored windows prepend the global first frame, so the
-                    # window must leave room under the motion positional cap.
-                    # Forward chunking composes: each window's CFG-doubled
-                    # clip batch is itself chunked (64-frame 768px windows
-                    # measured 13.9 GB unchunked — over the 15.75 GB chip).
-                    window = min(
-                        pcfg.temporal_window, cfg.unet.motion_max_seq_length - 1
-                    )
-                    stride = max(1, min(pcfg.temporal_stride, window - 1))
-                    noise_pred = tiled_unet_call(
-                        lambda x, anchored: chunked_unet_call(x),
-                        model_in,
-                        window=window,
-                        stride=stride,
-                    )
-                else:
-                    noise_pred = chunked_unet_call(model_in)
-                if use_cfg:
-                    uncond, text = jnp.split(noise_pred, 2, axis=0)
-                    noise_pred = uncond + guidance_scale * (text - uncond)
-                if eta > 0.0:
-                    step_key, nkey = jax.random.split(step_key)
-                    step_noise = jax.random.normal(
-                        nkey, latents.shape, dtype=jnp.float32
-                    )
-                else:
-                    step_noise = None
-                latents = ddim_step(
-                    schedule, noise_pred, jnp.full((batch,), t),
-                    jnp.full((batch,), tp), latents, eta=eta, noise=step_noise,
+                chunk = lambda a: (
+                    None if a is None
+                    else a.reshape((unet_chunk, per) + a.shape[1:])
                 )
-                return (shard_frames(latents), step_key), None
+                out = jax.lax.map(
+                    one,
+                    (chunk(x), chunk(text_states), chunk(image_embeds)),
+                )
+                return out.reshape((bsz,) + out.shape[2:])
 
-            (latents, _), _ = jax.lax.scan(
-                denoise_step, (latents, rng_eta),
-                (jnp.asarray(ts), jnp.asarray(prev)),
+            if use_tiling:
+                from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
+
+                # anchored windows prepend the global first frame, so the
+                # window must leave room under the motion positional cap.
+                # Forward chunking composes: each window's CFG-doubled
+                # clip batch is itself chunked (64-frame 768px windows
+                # measured 13.9 GB unchunked — over the 15.75 GB chip).
+                window = min(
+                    pcfg.temporal_window, cfg.unet.motion_max_seq_length - 1
+                )
+                stride = max(1, min(pcfg.temporal_stride, window - 1))
+                noise_pred = tiled_unet_call(
+                    lambda x, anchored: chunked_unet_call(x),
+                    model_in,
+                    window=window,
+                    stride=stride,
+                )
+            else:
+                noise_pred = chunked_unet_call(model_in)
+            if use_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            if eta > 0.0:
+                step_key, nkey = jax.random.split(step_key)
+                step_noise = jax.random.normal(
+                    nkey, latents.shape, dtype=jnp.float32
+                )
+            else:
+                step_noise = None
+            latents = ddim_step(
+                schedule, noise_pred, jnp.full((batch,), t),
+                jnp.full((batch,), tp), latents, eta=eta, noise=step_noise,
             )
+            return (shard_frames(latents), step_key)
+
+        def decode_fn(params, consts, latents):
+            cond_latents = consts[0]
             if has_condition:
                 latents = latents.at[:, 0].set(cond_latents.astype(latents.dtype))
 
@@ -569,6 +585,43 @@ class I2VAdapterPipeline:
             )
             return video.astype(jnp.float32)
 
+        return prep_fn, step_fn, decode_fn, ts, prev
+
+    def _build_sampler(
+        self,
+        batch: int,
+        num_frames: int,
+        height: int,
+        width: int,
+        num_inference_steps: int,
+        strength: float,
+        guidance_scale: float,
+        use_cfg: bool,
+        has_condition: bool,
+        decode_slice: int,
+        vae_tiling: bool = False,
+        unet_chunk: int = 1,
+    ):
+        """Fused sampler: prep + denoise scan + decode as ONE jit — no host
+        round-trips inside a clip generation (the fast path)."""
+        prep_fn, step_fn, decode_fn, ts, prev = self._build_parts(
+            batch, num_frames, height, width, num_inference_steps, strength,
+            guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
+            unet_chunk,
+        )
+        mesh = getattr(self, "mesh", None)
+
+        def sample_fn(params, text_ids, cond_image, clip_image, rng):
+            carry, consts = prep_fn(params, text_ids, cond_image, clip_image, rng)
+
+            def body(c, t_pair):
+                return step_fn(params, consts, c, t_pair[0], t_pair[1]), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, carry, (jnp.asarray(ts), jnp.asarray(prev))
+            )
+            return decode_fn(params, consts, latents)
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -586,6 +639,78 @@ class I2VAdapterPipeline:
                 sample_fn, out_shardings=NamedSharding(mesh, P())
             )
         return jax.jit(sample_fn)
+
+    def _stepwise_sampler(
+        self,
+        batch: int,
+        num_frames: int,
+        height: int,
+        width: int,
+        num_inference_steps: int,
+        strength: float,
+        guidance_scale: float,
+        use_cfg: bool,
+        has_condition: bool,
+        decode_slice: int,
+        vae_tiling: bool = False,
+        unet_chunk: int = 1,
+    ):
+        """Step-wise sampler: prep / one-denoise-step / decode as THREE
+        jits driven by a host loop, so no single device dispatch runs for
+        minutes.  Numerically identical to the fused sampler (same part
+        functions, same keys); ~len(schedule) extra dispatch overheads.
+
+        Exists for very large workloads (64-frame 768px: ~4 s of UNet work
+        per denoise step — the fused sampler would be one multi-minute
+        dispatch, which remote-TPU transports kill; each bounded dispatch
+        also keeps serving preemptible between steps)."""
+        key = (
+            batch, num_frames, height, width, num_inference_steps, strength,
+            guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
+            unet_chunk, getattr(self, "mesh", None), "stepwise",
+        )
+        cache = self.__dict__.setdefault("_sampler_cache", {})
+        if key in cache:
+            return cache[key]
+        prep_fn, step_fn, decode_fn, ts, prev = self._build_parts(*key[:-2])
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from i2v_adapter_tpu.parallel.spmd import attention_spmd
+
+            def _wrap(f):
+                @functools.wraps(f)
+                def g(*a):
+                    with attention_spmd(mesh):
+                        return f(*a)
+
+                return g
+
+            prep_jit = jax.jit(_wrap(prep_fn))
+            step_jit = jax.jit(_wrap(step_fn))
+            decode_jit = jax.jit(
+                _wrap(decode_fn), out_shardings=NamedSharding(mesh, P())
+            )
+        else:
+            prep_jit = jax.jit(prep_fn)
+            step_jit = jax.jit(step_fn)
+            decode_jit = jax.jit(decode_fn)
+        ts_np, prev_np = np.asarray(ts), np.asarray(prev)
+
+        def run(params, text_ids, cond_image, clip_image, rng):
+            carry, consts = prep_jit(params, text_ids, cond_image, clip_image, rng)
+            for i in range(len(ts_np)):
+                carry = step_jit(
+                    params, consts, carry,
+                    jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
+                )
+                # bound every device dispatch to one denoise step
+                jax.block_until_ready(carry)
+            return decode_jit(params, consts, carry[0])
+
+        cache[key] = run
+        return run
 
     # ------------------------------------------------------------------
     # user entry point
@@ -609,12 +734,19 @@ class I2VAdapterPipeline:
         vae_tiling: bool = False,
         unet_chunk: int = 0,
         memory_unsafe: bool = False,
+        dispatch: str = "auto",
     ):
         """Generate clips. Returns (B, F, H, W, 3) uint8 (output_type='np')
         or float32 in [-1, 1] ('latent' returns raw latents).
 
         ``memory_unsafe=True`` bypasses the single-chip HBM envelope check
-        (see ``_check_memory_envelope``) — only for meshes / larger chips."""
+        (see ``_check_memory_envelope``) — only for meshes / larger chips.
+
+        ``dispatch``: 'scan' = the whole clip as one fused jit (fastest),
+        'stepwise' = one device dispatch per denoise step (for workloads
+        whose fused dispatch would run for minutes), 'auto' = stepwise
+        once the estimated per-clip UNet work exceeds
+        ``SCAN_DISPATCH_MAX_WORK`` eval-tokens."""
         pcfg = self.pipe_config
         num_frames = num_frames or pcfg.num_frames
         height = height or pcfg.height
@@ -678,8 +810,19 @@ class I2VAdapterPipeline:
         # concurrent frame evaluations exceeds one chip's comfortable HBM
         # footprint at 512px (batch 8 CFG-doubled = 256 evals OOMs 16 GB).
         evals = batch * num_frames * (2 if use_cfg else 1)
+        # temporal tiling bounds the CONCURRENT working set by the window
+        # (one anchored window of frames in flight at a time), so the HBM
+        # envelope is checked against the windowed frame count; the chunk /
+        # slice auto-defaults below still key on the full workload.
+        motion_cap = self.config.unet.motion_max_seq_length
+        if num_frames > motion_cap:
+            window = min(self.pipe_config.temporal_window, motion_cap - 1)
+            concurrent_evals = batch * (window + 1) * (2 if use_cfg else 1)
+        else:
+            window = None
+            concurrent_evals = evals
         if not memory_unsafe:
-            self._check_memory_envelope(evals, height, width, batch)
+            self._check_memory_envelope(concurrent_evals, height, width, batch)
         sf = self.config.vae.spatial_scale_factor
         tokens = (height // sf) * (width // sf)
         if unet_chunk == 0:
@@ -692,7 +835,30 @@ class I2VAdapterPipeline:
             # 768px-class decode: 8 frames of decoder features ~ 5 GB
             decode_slice = 2
 
-        fn = self._sampler(
+        if dispatch not in ("auto", "scan", "stepwise"):
+            raise ValueError(f"dispatch must be auto/scan/stepwise, got {dispatch!r}")
+        if dispatch == "auto":
+            # estimated per-clip UNet work in frame-evals x latent-tokens;
+            # tiling re-evaluates overlap frames (+1 anchor per interior
+            # window), so count the actual windows.
+            if window is not None:
+                from i2v_adapter_tpu.pipelines.tiling import temporal_windows
+
+                stride = max(1, min(self.pipe_config.temporal_stride, window - 1))
+                per_step_frames = sum(
+                    (e - s) + (1 if s > 0 else 0)
+                    for s, e in temporal_windows(num_frames, window, stride)
+                )
+            else:
+                per_step_frames = num_frames
+            work = (
+                steps * batch * per_step_frames * (2 if use_cfg else 1) * tokens
+            )
+            dispatch = "stepwise" if work > self.SCAN_DISPATCH_MAX_WORK else "scan"
+        sampler = (
+            self._stepwise_sampler if dispatch == "stepwise" else self._sampler
+        )
+        fn = sampler(
             batch, num_frames, height, width, steps, float(strength),
             float(guidance), use_cfg, has_condition, decode_slice,
             vae_tiling, unet_chunk,
@@ -728,6 +894,13 @@ class I2VAdapterPipeline:
     # fine; 256 evals crash the TPU worker outright rather than raising
     # RESOURCE_EXHAUSTED.  Unit: frame-evals x latent tokens.
     MAX_EVAL_TOKENS: int = 128 * 4096
+
+    # dispatch='auto' switches to the stepwise sampler once the estimated
+    # whole-clip UNet work (steps x frame-evals x latent-tokens) exceeds
+    # this.  Calibration on the v5e: config 2 (22 x 32 x 4096 = 2.9M) runs
+    # ~9 s as one fused dispatch — fine; config 5 (22 x 168 x 9216 = 34M)
+    # is a multi-minute dispatch, which remote transports kill.  8M ~= 30 s.
+    SCAN_DISPATCH_MAX_WORK: int = 8_000_000
 
     def _check_memory_envelope(
         self, evals: int, height: int, width: int, batch: int

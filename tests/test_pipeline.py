@@ -186,3 +186,60 @@ def test_memory_envelope_refuses_before_dispatch(tiny_pipeline):
     # memory_unsafe bypasses the guard (guard only; don't dispatch 512px on
     # CPU — just check the guard itself)
     tiny_pipeline._check_memory_envelope(8, 32, 32, 1)  # small: fine
+
+
+def test_stepwise_dispatch_matches_scan(tiny_pipeline):
+    """The stepwise sampler (one device dispatch per denoise step, for
+    workloads whose fused dispatch would run for minutes) is built from the
+    same part functions as the fused lax.scan sampler and must reproduce
+    it — including with eta>0 (per-step noise keys thread identically) and
+    temporal tiling."""
+    img = (np.random.default_rng(5).random((32, 32, 3)) * 255).astype(np.uint8)
+    v_scan = tiny_pipeline("a cat", condition_image=img, seed=9,
+                           output_type="float", dispatch="scan")
+    v_step = tiny_pipeline("a cat", condition_image=img, seed=9,
+                           output_type="float", dispatch="stepwise")
+    np.testing.assert_allclose(v_scan, v_step, atol=2e-5)
+
+    # tiling + truncated schedule + eta, both dispatch modes
+    import dataclasses
+
+    old = tiny_pipeline.pipe_config
+    try:
+        tiny_pipeline.pipe_config = dataclasses.replace(old, eta=1.0)
+        tiny_pipeline._sampler_cache.clear()
+        kw = dict(condition_image=img, num_frames=12, seed=4,
+                  num_inference_steps=5, frame_similarity_sample_ratio=0.8,
+                  output_type="float")
+        v1 = tiny_pipeline("a", dispatch="scan", **kw)
+        v2 = tiny_pipeline("a", dispatch="stepwise", **kw)
+        np.testing.assert_allclose(v1, v2, atol=2e-5)
+    finally:
+        tiny_pipeline.pipe_config = old
+        tiny_pipeline._sampler_cache.clear()
+
+
+def test_dispatch_auto_selects_stepwise_for_huge_work(tiny_pipeline, monkeypatch):
+    """dispatch='auto' must route config-5-class workloads (whole-clip work
+    above SCAN_DISPATCH_MAX_WORK eval-tokens) to the stepwise sampler."""
+    chosen = {}
+
+    def spy_step(*a, **k):
+        chosen["mode"] = "stepwise"
+        return tiny_pipeline.__class__._stepwise_sampler(tiny_pipeline, *a, **k)
+
+    def spy_scan(*a, **k):
+        chosen["mode"] = "scan"
+        return tiny_pipeline.__class__._sampler(tiny_pipeline, *a, **k)
+
+    monkeypatch.setattr(tiny_pipeline, "_stepwise_sampler", spy_step)
+    monkeypatch.setattr(tiny_pipeline, "_sampler", spy_scan)
+    img = np.zeros((32, 32, 3), np.uint8)
+    tiny_pipeline("a", condition_image=img, seed=0)
+    assert chosen["mode"] == "scan"  # tiny work stays fused
+
+    monkeypatch.setattr(
+        tiny_pipeline.__class__, "SCAN_DISPATCH_MAX_WORK", 1
+    )
+    tiny_pipeline("a", condition_image=img, seed=0)
+    assert chosen["mode"] == "stepwise"
