@@ -134,6 +134,15 @@ class VideoUNetConfig(_ConfigBase):
     # (full 512px UNet step 459 -> 432 ms measured).  tiny_test_config pins
     # False so composite torch-parity tests check the exact reference math.
     fast_gelu: bool = True
+    # int8 3x3 resnet convs (dynamic per-tensor activation scale +
+    # per-channel weight scales, int32 accumulate): measured 388.6 ->
+    # 367.7 ms per 512px UNet step on v5e (the conv unit itself is ~1.34x;
+    # int8 MATMUL measured no gain and stays bf16).  Quantization error is
+    # ~1e-2 relative per conv — a serving-mode knob like ``fast_gelu`` but
+    # an order of magnitude coarser, so it defaults OFF and is excluded
+    # from parity suites.  The param tree is identical either way, so
+    # checkpoints interchange freely.
+    int8_conv: bool = False
 
     def __post_init__(self):
         if len(self.down_block_has_attention) != len(self.block_out_channels):

@@ -134,13 +134,16 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    # serving-mode int8 3x3 convs (see VideoUNetConfig.int8_conv); the
+    # I2V_INT8_CONV env var remains as an A/B override for profiling tools
+    int8: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        use_int8 = _int8_conv_enabled()
+        use_int8 = self.int8 or _int8_conv_enabled()
 
         def conv3(name, h):
             if use_int8:

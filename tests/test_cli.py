@@ -51,10 +51,21 @@ def test_cli_generates_gifs(tmp_path):
         "--task_name", "t", "--pretrained_model_path", pretrained,
         "--eval_csv_path", eval_csv, "--num_frames", "2",
         "--height", "32", "--width", "32", "--num_inference_steps", "2",
-        "--dtype", "float32",
+        "--dtype", "float32", "--dispatch", "stepwise", "--int8_conv",
     ])
     assert args.guidance_scale == 7.5
     assert args.frame_similarity_sample_ratio == 0.9
+    assert args.dispatch == "stepwise" and args.int8_conv
+
+    # the serving toggles the CLI wires: int8 convs rebuild the UNet with
+    # the knob recorded in config (param tree unchanged), and the stepwise
+    # dispatch still generates
+    pipe.enable_int8_conv()
+    assert pipe.config.unet.int8_conv
+    video_q = pipe("a cat", condition_image=Image.open(img_path), seed=0,
+                   dispatch="stepwise")
+    assert video_q.shape == (1, 2, 32, 32, 3)
+    assert np.isfinite(video_q.astype(np.float32)).all()
 
 
 def test_from_pretrained_loads_adapter_and_ip(tmp_path):

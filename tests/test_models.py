@@ -212,6 +212,53 @@ def test_serving_numerics_unet_psnr(rng):
     assert db > 60.0, db
 
 
+def test_int8_conv_param_tree_and_psnr(rng):
+    """``int8_conv=True`` (config knob; measured 388.6 -> 367.7 ms per
+    512px UNet step on v5e) must keep the param tree IDENTICAL to the bf16
+    path — checkpoints interchange — and the full tiny UNet's output must
+    stay above the 35 dB serving acceptance bar vs the exact conv path
+    (the per-conv quantization error is ~1e-2 relative)."""
+    from i2v_adapter_tpu.tools.parity import psnr
+
+    cfg_exact = CFG.unet
+    cfg_int8 = cfg_exact.replace(int8_conv=True)
+    unet_e = VideoUNet(cfg_exact)
+    unet_q = VideoUNet(cfg_int8)
+    b, f, lat = 1, 4, 8
+    sample = jnp.asarray(
+        rng.standard_normal((b, f, lat, lat, 4)).astype(np.float32)
+    )
+    text = jnp.asarray(
+        rng.standard_normal((b, 8, cfg_exact.cross_attention_dim)).astype(
+            np.float32
+        )
+    )
+    img = jnp.asarray(
+        rng.standard_normal((b, cfg_exact.image_embed_dim)).astype(np.float32)
+    )
+    params = unet_e.init(
+        jax.random.PRNGKey(0), sample, jnp.zeros((b,)), text, img,
+        enable_cross_frame_attn=True,
+    )
+    params_q = unet_q.init(
+        jax.random.PRNGKey(0), sample, jnp.zeros((b,)), text, img,
+        enable_cross_frame_attn=True,
+    )
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_q
+    )
+    assert all(
+        a.shape == b_.shape
+        for a, b_ in zip(jax.tree.leaves(params), jax.tree.leaves(params_q))
+    )
+    out_e = unet_e.apply(params, sample, jnp.zeros((b,)), text, img,
+                         enable_cross_frame_attn=True)
+    out_q = unet_q.apply(params, sample, jnp.zeros((b,)), text, img,
+                         enable_cross_frame_attn=True)
+    db = psnr(np.asarray(out_e), np.asarray(out_q))
+    assert db > 35.0, db
+
+
 def test_fused_qkv_matches_unfused(rng, monkeypatch):
     """I2V_FUSE_QKV=1 concatenates the q/k/v kernels into one matmul with an
     IDENTICAL param tree; outputs must match the three-Dense path."""

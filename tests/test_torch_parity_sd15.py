@@ -228,3 +228,109 @@ def test_sd15_full_unet_parity_and_psnr(rng, sd15_sds, converted):
     peak = float(np.max(np.abs(want))) or 1.0
     db = psnr(got, want, peak=peak)
     assert db > 35.0, f"sd15 full-UNet PSNR {db:.1f} dB"
+
+
+def test_sd15_pipeline_loop_psnr(rng, sd15_sds, converted):
+    """FULL-PIPELINE parity at SD1.5 widths (VERDICT r2 #3, pipeline half):
+    the product denoise loop — first-frame clamp -> CFG doubling -> UNet ->
+    guidance combine -> DDIM update, iterated, then final clamp + VAE decode
+    (reference hot loop, pipeline_i2v_adapter.py:665-700) — vs an
+    INDEPENDENT torch/float64 transcription of the same reference math.
+
+    The UNet runs at the real 256px-class latent grid (32x32, widths
+    320/640/1280, CFG batch 2); the VAE is the tiny-width config so the
+    decode stays CPU-tractable (decode-path width parity is covered by
+    test_vae_encoder_decoder_parity).  Identical injected noise/consts on
+    both sides; acceptance is the >35 dB PSNR bar plus a composition
+    max-err bound."""
+    from i2v_adapter_tpu.config import (
+        I2VModelConfig,
+        PipelineConfig,
+        tiny_test_config,
+    )
+    from i2v_adapter_tpu.models import AutoencoderKL
+    from i2v_adapter_tpu.pipelines.i2v_pipeline import I2VAdapterPipeline
+    from i2v_adapter_tpu.schedulers import make_schedule
+    from tests.synth import make_vae_sd
+
+    sd, motion, ip, adapter = sd15_sds
+    tiny_vae = tiny_test_config().vae
+    model_cfg = I2VModelConfig(unet=SD15, vae=tiny_vae)
+    b, f = 1, 2
+    lat = 32
+    height = width = lat * tiny_vae.spatial_scale_factor  # 32x32 latents
+    steps, guidance = 2, 7.5
+    scale = tiny_vae.scaling_factor
+
+    vae_sd = make_vae_sd(rng, tiny_vae)
+    pipe = I2VAdapterPipeline.__new__(I2VAdapterPipeline)
+    pipe.config = model_cfg
+    pipe.pipe_config = PipelineConfig(
+        num_frames=f, height=height, width=width, num_inference_steps=steps,
+        dtype="float32",
+    )
+    pipe.dtype = jnp.float32
+    pipe.unet = VideoUNet(SD15)
+    pipe.vae = AutoencoderKL(tiny_vae)
+    pipe.schedule = make_schedule(model_cfg.scheduler)
+    params = {
+        "unet": {"params": converted},
+        "vae": {"params": convert.convert_vae(vae_sd, tiny_vae)},
+    }
+
+    # identical injected state on both sides (prep_fn's encoders/prior are
+    # covered by the composite parity suite; this test targets the loop)
+    latents0 = rng.standard_normal((b, f, lat, lat, 4)).astype(np.float32)
+    cond_latents = rng.standard_normal((b, lat, lat, 4)).astype(np.float32)
+    text_states = (
+        rng.standard_normal((2 * b, 77, 768)).astype(np.float32) * 0.5
+    )
+    image_embeds = rng.standard_normal(
+        (2 * b, SD15.image_embed_dim)
+    ).astype(np.float32)
+
+    prep_fn, step_fn, decode_fn, ts, prev = pipe._build_parts(
+        b, f, height, width, steps, 1.0, guidance, True, True, 0, False, 1
+    )
+    consts = (
+        jnp.asarray(cond_latents),
+        jnp.asarray(text_states),
+        jnp.asarray(image_embeds),
+    )
+    carry = (jnp.asarray(latents0), jax.random.PRNGKey(0))  # eta=0: key unused
+    for t, tp in zip(ts, prev):
+        carry = step_fn(params, consts, carry, jnp.asarray(t), jnp.asarray(tp))
+    got = np.asarray(decode_fn(params, consts, carry[0]))  # (B, F, H, W*3)
+    got = got.reshape(b, f, height, width, 3)
+
+    # --- independent torch/float64 mirror of the reference loop ---
+    acp = np.asarray(pipe.schedule.alphas_cumprod, np.float64)
+    final_acp = float(np.asarray(pipe.schedule.final_alpha_cumprod))
+    x = latents0.transpose(0, 1, 4, 2, 3).astype(np.float64)  # NCHW frames
+    cond_t = cond_latents.transpose(0, 3, 1, 2).astype(np.float64)
+    with torch.no_grad():
+        for t, tp in zip(ts, prev):
+            x[:, 0] = cond_t
+            model_in = np.concatenate([x, x], axis=0).astype(np.float32)
+            eps = tm.video_unet(
+                SD15, sd, motion, ip, torch.from_numpy(model_in), float(t),
+                torch.from_numpy(text_states),
+                torch.from_numpy(image_embeds), cross_frame=True,
+                adapter_sd=adapter,
+            ).numpy().astype(np.float64)
+            uncond, text = np.split(eps, 2, axis=0)
+            eps = uncond + guidance * (text - uncond)
+            a_t = acp[t]
+            a_prev = acp[tp] if tp >= 0 else final_acp
+            x0 = (x - np.sqrt(1.0 - a_t) * eps) / np.sqrt(a_t)
+            x = np.sqrt(a_prev) * x0 + np.sqrt(1.0 - a_prev) * eps
+        x[:, 0] = cond_t
+        z = (x.reshape(b * f, 4, lat, lat) / scale).astype(np.float32)
+        want = tm.vae_decoder(tiny_vae, vae_sd, torch.from_numpy(z)).numpy()
+    want = want.reshape(b, f, 3, height, width).transpose(0, 1, 3, 4, 2)
+
+    err = _maxerr(got, want)
+    assert err < 1e-3, f"sd15 pipeline-loop max err {err}"
+    peak = float(np.max(np.abs(want))) or 1.0
+    db = psnr(got.astype(np.float64), want.astype(np.float64), peak=peak)
+    assert db > 35.0, f"sd15 pipeline PSNR {db:.1f} dB"
