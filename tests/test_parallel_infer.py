@@ -188,6 +188,23 @@ def test_pipeline_mesh_matches_single_device(tiny_mesh_pipeline, mesh222):
     np.testing.assert_allclose(again, ref, atol=0)
 
 
+def test_pipeline_mesh_stepwise_matches_single_device(tiny_mesh_pipeline, mesh222):
+    """The stepwise dispatcher (one jit per denoise step — the config-5
+    path) composes with the mesh: sharded stepwise output must match the
+    single-device fused sampler."""
+    img = (np.random.default_rng(7).random((32, 32, 3)) * 255).astype(np.uint8)
+    pipe = tiny_mesh_pipeline
+    ref = pipe("a dog", condition_image=img, seed=11, output_type="float",
+               dispatch="scan")
+    try:
+        pipe.enable_mesh(mesh222)
+        out = pipe("a dog", condition_image=img, seed=11, output_type="float",
+                   dispatch="stepwise")
+    finally:
+        pipe.disable_mesh()
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
 def test_pipeline_mesh_envelope_scales(tiny_mesh_pipeline, mesh222):
     """The HBM envelope guard scales with the mesh's eval parallelism."""
     pipe = tiny_mesh_pipeline
