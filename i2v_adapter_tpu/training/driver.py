@@ -138,6 +138,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["sd15", "tiny"],
                    help="tiny = CPU-sim proof run; sd15 = real shape")
     p.add_argument("--bench_output", type=str, default="bench_scaling.jsonl")
+    p.add_argument("--bench_cpu_sim", type=int, default=0,
+                   help="simulate N CPU devices for the sweep (this box's "
+                        "CPU plugin ignores --xla_force_host_platform_"
+                        "device_count; jax.config is the mechanism that "
+                        "works, applied before backend init)")
     args = p.parse_args(argv)
     if not args.bench_scaling:
         missing = [
@@ -495,6 +500,12 @@ def bench_scaling(args, model_config: Optional[I2VModelConfig] = None) -> list:
     from i2v_adapter_tpu.parallel.mesh import train_state_shardings
 
     logging.basicConfig(level=logging.INFO)
+    if getattr(args, "bench_cpu_sim", 0):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.bench_cpu_sim)
+        except Exception:  # pragma: no cover - backend already initialized
+            logger.warning("bench_cpu_sim: backend already initialized")
     tc0 = args_to_train_config(args)
     if args.bench_model == "tiny":
         mc = tiny_test_config()
