@@ -665,6 +665,7 @@ class I2VAdapterPipeline:
         decode_slice: int,
         vae_tiling: bool = False,
         unet_chunk: int = 1,
+        decode: bool = True,
     ):
         """Step-wise sampler: prep / one-denoise-step / decode as THREE
         jits driven by a host loop, so no single device dispatch runs for
@@ -674,16 +675,21 @@ class I2VAdapterPipeline:
         Exists for very large workloads (64-frame 768px: ~4 s of UNet work
         per denoise step — the fused sampler would be one multi-minute
         dispatch, which remote-TPU transports kill; each bounded dispatch
-        also keeps serving preemptible between steps)."""
+        also keeps serving preemptible between steps).
+
+        ``decode=False`` returns final latents (first-frame clamped, still
+        x ``vae.scaling_factor``) instead of decoded video — the
+        ``output_type='latent'`` path (reference
+        pipeline_i2v_adapter.py:699-703)."""
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
-            unet_chunk, getattr(self, "mesh", None), "stepwise",
+            unet_chunk, getattr(self, "mesh", None), "stepwise", decode,
         )
         cache = self.__dict__.setdefault("_sampler_cache", {})
         if key in cache:
             return cache[key]
-        prep_fn, step_fn, decode_fn, ts, prev = self._build_parts(*key[:-2])
+        prep_fn, step_fn, decode_fn, ts, prev = self._build_parts(*key[:-3])
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -718,6 +724,13 @@ class I2VAdapterPipeline:
                 )
                 # bound every device dispatch to one denoise step
                 jax.block_until_ready(carry)
+            if not decode:
+                latents, cond_latents = carry[0], consts[0]
+                if has_condition:
+                    latents = latents.at[:, 0].set(
+                        cond_latents.astype(latents.dtype)
+                    )
+                return latents
             return decode_jit(params, consts, carry[0])
 
         cache[key] = run
@@ -866,6 +879,28 @@ class I2VAdapterPipeline:
                 steps * batch * per_step_frames * (2 if use_cfg else 1) * tokens
             )
             dispatch = "stepwise" if work > self.SCAN_DISPATCH_MAX_WORK else "scan"
+        if output_type == "latent":
+            # skip the VAE decode entirely (reference output_type='latent',
+            # pipeline_i2v_adapter.py:699-703); the stepwise parts make
+            # this a cache-keyed no-decode variant
+            fn = self._stepwise_sampler(
+                batch, num_frames, height, width, steps, float(strength),
+                float(guidance), use_cfg, has_condition, decode_slice,
+                vae_tiling, unet_chunk, decode=False,
+            )
+            latents = np.asarray(fn(
+                self.params,
+                jnp.asarray(text_ids),
+                jnp.asarray(cond),
+                jnp.asarray(clip_img),
+                jax.random.PRNGKey(seed),
+            ))
+            if not np.isfinite(latents).all():
+                raise FloatingPointError(
+                    "generated latents contain non-finite values (see the "
+                    "flash_static_max note in the decoded-video guard)."
+                )
+            return latents
         sampler = (
             self._stepwise_sampler if dispatch == "stepwise" else self._sampler
         )

@@ -219,6 +219,28 @@ def test_stepwise_dispatch_matches_scan(tiny_pipeline):
         tiny_pipeline._sampler_cache.clear()
 
 
+def test_output_type_latent_matches_decoded(tiny_pipeline):
+    """output_type='latent' (reference pipeline_i2v_adapter.py:699-703)
+    returns final clamped latents without decoding; feeding them through the
+    VAE reproduces the decoded output exactly."""
+    import jax.numpy as jnp
+
+    img = (np.random.default_rng(6).random((32, 32, 3)) * 255).astype(np.uint8)
+    lat = tiny_pipeline("a cat", condition_image=img, seed=9,
+                        output_type="latent")
+    assert lat.shape == (1, 2, 16, 16, 4)
+    video = tiny_pipeline("a cat", condition_image=img, seed=9,
+                          output_type="float")
+    scale = tiny_pipeline.config.vae.scaling_factor
+    flat = jnp.asarray(lat.reshape(2, 16, 16, 4) / scale)
+    dec = tiny_pipeline.vae.apply(
+        tiny_pipeline.params["vae"], flat, method=tiny_pipeline.vae.decode
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec).reshape(1, 2, 32, 32, 3), video, atol=2e-5
+    )
+
+
 def test_dispatch_auto_selects_stepwise_for_huge_work(tiny_pipeline, monkeypatch):
     """dispatch='auto' must route config-5-class workloads (whole-clip work
     above SCAN_DISPATCH_MAX_WORK eval-tokens) to the stepwise sampler."""
