@@ -8,6 +8,7 @@ from i2v_adapter_tpu.models.simple.blocks import (
 )
 from i2v_adapter_tpu.models.simple.unet2d import SimpleUNet
 from i2v_adapter_tpu.models.simple.unet3d import SimpleUNet3D
+from i2v_adapter_tpu.models.simple.unet_dome import SimpleUNetDome
 
 __all__ = [
     "AlphaBlender",
@@ -18,4 +19,5 @@ __all__ = [
     "positional_emb",
     "SimpleUNet",
     "SimpleUNet3D",
+    "SimpleUNetDome",
 ]

@@ -123,6 +123,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="sample eval GIFs every N epochs (0 = off)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
+    p.add_argument("--report_to", type=str, default="tensorboard",
+                   choices=["tensorboard", "wandb", "all", "none"],
+                   help="metric trackers in addition to the always-on JSONL "
+                        "(reference --report_to, train_image_to_video.py:406-"
+                        "414); each activates only if its package imports")
+    p.add_argument("--wandb_project", type=str, default="i2v_adapter_tpu")
     # ---- weak-scaling bench mode (no data/weights needed) ----
     p.add_argument("--bench_scaling", action="store_true",
                    help="time the pjit train step across mesh shapes on the "
@@ -325,7 +331,14 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
     logger.info("trainable params: %.2fM / %.2fM", n_train / 1e6, n_total / 1e6)
 
     uncond_ids = pipe.tokenizer([""] * tc.train_batch_size, padding="max_length")
-    metrics_log = MetricsLogger(os.path.join(task_dir, "logs"))
+    report_to = getattr(args, "report_to", "tensorboard")
+    metrics_log = MetricsLogger(
+        os.path.join(task_dir, "logs"),
+        use_tensorboard=report_to in ("tensorboard", "all"),
+        use_wandb=report_to in ("wandb", "all"),
+        wandb_project=getattr(args, "wandb_project", "i2v_adapter_tpu"),
+        run_config=tc.to_dict() if hasattr(tc, "to_dict") else None,
+    )
     timer = StepTimer()
     rng = jax.random.PRNGKey(tc.seed)
     global_step = int(first_epoch * steps_per_epoch)

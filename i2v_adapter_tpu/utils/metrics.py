@@ -16,12 +16,26 @@ from typing import Optional
 
 
 class MetricsLogger:
-    """Append-only JSONL + optional TensorBoard."""
+    """Append-only JSONL + optional TensorBoard / Weights & Biases.
 
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    Mirrors the reference's ``--report_to {tensorboard,wandb}`` surface
+    (/root/reference/src/train_image_to_video.py:406-414,892): JSONL is
+    always written; each tracker activates only if its package imports
+    (neither is a hard dependency of this framework).
+    """
+
+    def __init__(
+        self,
+        log_dir: str,
+        use_tensorboard: bool = True,
+        use_wandb: bool = False,
+        wandb_project: str = "i2v_adapter_tpu",
+        run_config: Optional[dict] = None,
+    ):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._tb = None
+        self._wandb = None
         if use_tensorboard:
             try:
                 import tensorflow as tf
@@ -29,6 +43,16 @@ class MetricsLogger:
                 self._tb = tf.summary.create_file_writer(log_dir)
             except Exception:  # noqa: BLE001 — TF optional
                 self._tb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, dir=log_dir, config=run_config,
+                    resume="allow",
+                )
+            except Exception:  # noqa: BLE001 — wandb optional
+                self._wandb = None
 
     def log(self, step: int, metrics: dict) -> None:
         record = {"step": step, "time": time.time(), **metrics}
@@ -40,6 +64,13 @@ class MetricsLogger:
             with self._tb.as_default():
                 for k, v in metrics.items():
                     tf.summary.scalar(k, v, step=step)
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def finish(self) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()
+            self._wandb = None
 
     def read(self) -> list:
         if not os.path.exists(self.path):

@@ -165,3 +165,25 @@ def test_latent_trainer_step(rng):
     assert np.isfinite(float(loss))
     moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), params, params2)
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_simple_unet_dome(rng):
+    """unet_dome capability row (reference src/models/unet_dome.py): fixed
+    64x64 topology, integer timesteps, c_in != c_out, fp32 finite output;
+    time encoding matches the reference's replicated-frequency layout."""
+    from i2v_adapter_tpu.models.simple import SimpleUNetDome
+    from i2v_adapter_tpu.models.simple.unet_dome import dome_time_encoding
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    t = jnp.asarray([1, 500])
+    m = SimpleUNetDome(c_out=3)
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(params, x, t)
+    assert out.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # reference pos_encoding: [sin(t*f_0..f_{d/2}) || cos(t*f_0..f_{d/2})]
+    enc = np.asarray(dome_time_encoding(jnp.asarray([7.0]), 8))
+    inv = 1.0 / (10000 ** (np.arange(0, 8, 2) / 8))
+    np.testing.assert_allclose(enc[0, :4], np.sin(7.0 * inv), rtol=1e-5)
+    np.testing.assert_allclose(enc[0, 4:], np.cos(7.0 * inv), rtol=1e-5)
