@@ -941,6 +941,106 @@ def _temporal_flash(
     )(q, k, v)
 
 
+def _temporal_kernel_cs(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Channel-major frame attention for one (batch, head, s-block) program.
+
+    Refs are (1, F, d, block_s) slices of (B, F, C, S) activations — S on
+    the lanes, the head's d-channel slice on the sublanes.  Head slicing
+    happens in the BLOCK SPEC (grid axis), not in-kernel: with S minor,
+    the per-head C-slice only needs 8-divisibility (d = 40/80/160 all
+    pass), where the C-minor kernel's head slices could never satisfy the
+    128-lane rule and paid per-head in-kernel relayouts instead.  The
+    body is _temporal_kernel4's inner loop with every transpose deleted.
+
+    ``q_ref`` may carry fewer frames than k/v (seq-sharded SPMD path)."""
+    q = q_ref[0]  # (Fq, d, bs)
+    k = k_ref[0]  # (F, d, bs)
+    v = v_ref[0]
+    # q arrives pre-scaled by scale*log2(e) folded into the fp32 cast
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    outs = []
+    for f in range(q.shape[0]):
+        s = jnp.sum(qf[f][None] * kf, axis=1)  # (F, bs), log2-space
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp2(s - m)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        o_f = jnp.sum(p[:, None, :] * vf, axis=0)  # (d, bs)
+        outs.append(o_f.astype(o_ref.dtype))
+    o_ref[0] = jnp.stack(outs, axis=0)
+
+
+def _temporal_flash_cs(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
+    block_s: int = 0, interpret: bool = False,
+) -> jnp.ndarray:
+    """Channel-major Pallas frame attention; q (B, Fq, S, C), k/v
+    (B, F, S, C), returns (B, Fq, S, C).
+
+    The (B, F, S, C) -> (B, F, C, S) transposes here are logical: XLA
+    folds them into the projection matmuls' output layout (same
+    producer-layout property as the flash kernel's transposed IO), and
+    the inverse transpose on the output folds into the to_out matmul."""
+    b, fq, s, c = q.shape
+    f = k.shape[1]
+    d = c // heads
+    scale = 1.4426950408889634 / math.sqrt(d)
+    qt = jnp.transpose(q, (0, 1, 3, 2))  # (B, Fq, C, S)
+    kt = jnp.transpose(k, (0, 1, 3, 2))
+    vt = jnp.transpose(v, (0, 1, 3, 2))
+    if block_s == 0:
+        # VMEM per program ~ F*d*block_s*(bf16 in x3 double-buffered
+        # + fp32 staging x3 + bf16 out x2) ~= 448*d*block_s bytes at F=16;
+        # keep it near 10 MB.  Lane rule: block_s % 128 == 0 or full S.
+        import os
+
+        base = int(os.environ.get("I2V_TEMPORAL_CS_BLOCK_S", "512"))
+        if q.dtype.itemsize >= 4:  # fp32 staging doubles every buffer
+            base //= 2
+        block_s = max(128, base * 40 // d)
+    block_s = min(block_s, s)
+    if s % block_s != 0:
+        block_s = math.gcd(s, block_s)
+    grid = (b, heads, s // block_s)
+    qspec = pl.BlockSpec(
+        (1, fq, d, block_s),
+        lambda bi, hi, si: (bi, 0, hi, si),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, f, d, block_s),
+        lambda bi, hi, si: (bi, 0, hi, si),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_temporal_kernel_cs, scale=scale),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, fq, c, s), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * fq * f * s * d,
+            bytes_accessed=(2 * f + fq) * b * s * c * q.dtype.itemsize,
+            transcendentals=b * heads * fq * f * s,
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return jnp.transpose(out, (0, 1, 3, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _temporal_pallas_cs(q, k, v, heads, interpret):
+    return _temporal_flash_cs(q, k, v, heads=heads, interpret=interpret)
+
+
+def _temporal_fwd_cs(q, k, v, heads, interpret):
+    return _temporal_pallas_cs(q, k, v, heads, interpret), (q, k, v)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _temporal_pallas(q, k, v, heads, interpret):
     return _temporal_flash(q, k, v, heads=heads, interpret=interpret)
@@ -979,6 +1079,7 @@ def _temporal_bwd(heads, interpret, res, g):
 
 
 _temporal_pallas.defvjp(_temporal_fwd, _temporal_bwd)
+_temporal_pallas_cs.defvjp(_temporal_fwd_cs, _temporal_bwd)
 
 
 def temporal_attention(
@@ -1004,36 +1105,43 @@ def temporal_attention(
     scale = 1.0 / math.sqrt(d)
 
     if impl in ("auto", "xla"):
-        # The fused pallas kernel (full-C s-blocks, heads split in-kernel)
-        # replaces vpu2's five HBM transposes per call at the big sites:
-        # in-context full-step A/B (512px): pallas-everywhere 488.5 ms,
-        # vpu2 462.3, hybrid (pallas at s>=2048, mxu below) 458.8 — the
-        # in-kernel per-head relayouts lose at small s where the einsum
-        # path's materialized softmax is cheap.  Numerics: 3e-6 vs f64
-        # (the einsum path shows 1.5e-2 under DEFAULT matmul precision,
-        # identical under 'highest').  A whole-(F,G,D,S) broadcast kernel
-        # was the round-2 dead end (34.6 ms).  I2V_TEMPORAL_IMPL overrides.
+        # Kernel history: vpu2 pays ~5 HBM transposes/call; the full-C
+        # pallas kernel (heads split IN-kernel) removed those but paid
+        # per-head relayouts, losing below s=2048; the channel-major CS
+        # kernel (heads split by the GRID along sublanes, S on lanes, zero
+        # in-kernel transposes) beats all of them for s >= 128 and is the
+        # auto choice there — see the per-site A/B below.  Numerics: 3e-6
+        # vs f64 (the einsum path shows 1.5e-2 under DEFAULT matmul
+        # precision, identical under 'highest').  A whole-(F,G,D,S)
+        # broadcast kernel was the round-2 dead end (34.6 ms).
         # impl='xla' (cfg.flash_attention=False) never selects a custom
         # Pallas kernel — only the pure-XLA vpu2/mxu lowerings.
         import os
 
+        # Channel-major (CS) kernel dispatch: per-site A/B on v5e with the
+        # projection matmuls in-graph (layout folding included), ms/call —
+        #   s=4096/c=320: cs 3.34  pallas 5.05  vpu2 6.50  mxu 11.15
+        #   s=1024/c=640: cs 2.23  pallas 4.17  vpu2 2.76  mxu  3.51
+        #   s= 256/c=1280: cs 1.85 pallas 3.81  vpu2 6.99  mxu  1.95
+        #   s=  64/c=1280: cs 10.3 pallas 6.90  vpu2 7.34  mxu  1.38
+        # (the cs kernel loses only when block_s = s < 128 lanes).
         forced = os.environ.get("I2V_TEMPORAL_IMPL")
-        pallas_min = int(os.environ.get("I2V_TEMPORAL_PALLAS_MIN", "2048"))
+        cs_min = int(os.environ.get("I2V_TEMPORAL_CS_MIN", "128"))
         if forced:
             impl = forced
-        elif impl != "xla" and _on_tpu() and s >= pallas_min:
-            impl = "pallas"
+        elif impl != "xla" and _on_tpu() and s >= cs_min:
+            impl = "pallas_cs"
         elif impl != "xla" and _on_tpu() and os.environ.get(
             "I2V_TEMPORAL_SMALL_IMPL"
         ):
-            # A/B hook: alternate kernel for the sub-pallas_min sites
-            # (whose einsum path materializes the softmax)
+            # A/B hook: alternate kernel for the sub-cs_min sites
             impl = os.environ["I2V_TEMPORAL_SMALL_IMPL"]
         else:
             impl = "vpu2" if s >= 2048 else "mxu"
-    if impl in ("pallas", "pallas_interpret"):
-        interp = impl == "pallas_interpret"
-        flash_fn = _temporal_flash
+    if impl in ("pallas", "pallas_interpret", "pallas_cs", "pallas_cs_interpret"):
+        interp = impl.endswith("_interpret")
+        cs = impl.startswith("pallas_cs")
+        flash_fn = _temporal_flash_cs if cs else _temporal_flash
         from i2v_adapter_tpu.parallel.spmd import (
             current_attention_spmd,
             spmd_temporal_attention,
@@ -1049,6 +1157,8 @@ def temporal_attention(
             )
             if out is not None:
                 return out
+        if cs:
+            return _temporal_pallas_cs(q, k, v, heads, interp)
         return _temporal_pallas(q, k, v, heads, interp)
     if impl == "mxu":
         scores = jnp.einsum(

@@ -207,6 +207,75 @@ def test_temporal_attention_pallas_backward_matches_mxu(rng):
         )
 
 
+def test_temporal_attention_cs_matches_f64(rng):
+    """The channel-major (CS) kernel — S on lanes, heads sliced by the
+    grid along sublanes, zero in-kernel transposes — against float64,
+    at head dims that exercise non-128 sublane slices (d=8 here; 40/80/160
+    in the SD1.5 model all satisfy the same 8-divisibility rule)."""
+    import math
+
+    from i2v_adapter_tpu.ops.attention import temporal_attention
+
+    b, f, s, c, h = 2, 4, 6, 16, 2
+    d = c // h
+    q = rng.standard_normal((b, f, s, c)).astype(np.float32)
+    k = rng.standard_normal((b, f, s, c)).astype(np.float32)
+    v = rng.standard_normal((b, f, s, c)).astype(np.float32)
+
+    qh = q.astype(np.float64).reshape(b, f, s, h, d)
+    kh = k.astype(np.float64).reshape(b, f, s, h, d)
+    vh = v.astype(np.float64).reshape(b, f, s, h, d)
+    scores = np.einsum("bfshd,bgshd->bshfg", qh, kh) / math.sqrt(d)
+    scores -= scores.max(axis=-1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(axis=-1, keepdims=True)
+    gold = np.einsum("bshfg,bgshd->bfshd", p, vh).reshape(b, f, s, c)
+
+    got = temporal_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=h,
+        impl="pallas_cs_interpret",
+    )
+    np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_attention_cs_query_slice_matches_full(rng):
+    """fq < f (the seq-sharded SPMD slice): CS kernel on a query-frame
+    slice == the matching rows of the full-frame result."""
+    from i2v_adapter_tpu.ops.attention import _temporal_flash_cs
+
+    q = jnp.asarray(rng.standard_normal((1, 4, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    full = _temporal_flash_cs(q, k, v, heads=2, interpret=True)
+    part = _temporal_flash_cs(q[:, 1:3], k, v, heads=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(part), np.asarray(full[:, 1:3]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_temporal_attention_cs_backward_matches_mxu(rng):
+    """custom_vjp backward of the CS path == autodiff of the einsum ref."""
+    from i2v_adapter_tpu.ops.attention import temporal_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 4, 6, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+
+    def loss(impl):
+        def f(q, k, v):
+            out = temporal_attention(q, k, v, heads=2, impl=impl)
+            return jnp.sum(out * out)
+
+        return f
+
+    g_cs = jax.grad(loss("pallas_cs_interpret"), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss("mxu"), argnums=(0, 1, 2))(q, k, v)
+    for a, b2 in zip(g_cs, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_groupnorm_mm_matches_flax(rng):
     """Matmul-stats GroupNorm == nn.GroupNorm (same params/eps)."""
     import flax.linen as nn

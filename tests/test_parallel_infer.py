@@ -85,6 +85,22 @@ def test_spmd_temporal_matches_plain(rng, mesh222):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_spmd_temporal_cs_matches_plain(rng, mesh222):
+    """The channel-major temporal kernel through the seq-sharded SPMD
+    wrapper (local query frames vs all-gathered K/V) == unsharded."""
+    b, f, s, c = 2, 4, 16, 16
+    q, k, v = (_rand(rng, (b, f, s, c)) for _ in range(3))
+    ref = temporal_attention(q, k, v, heads=2, impl="pallas_cs_interpret")
+    with mesh222:
+        with attention_spmd(mesh222):
+            out = jax.jit(
+                lambda q, k, v: temporal_attention(
+                    q, k, v, heads=2, impl="pallas_cs_interpret"
+                )
+            )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_spmd_fallback_on_unshardable_shapes(rng, mesh222):
     # batch of 3 clips is not divisible by the 4-way eval parallelism: the
     # dispatcher must fall back to the plain (replicated) call, still exact
