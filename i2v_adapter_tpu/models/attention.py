@@ -193,9 +193,9 @@ class TransformerBlock(nn.Module):
         enable_cross_frame_attn: bool = False,
         num_frames: int = 1,
     ) -> jnp.ndarray:
-        ln = lambda name: nn.LayerNorm(
-            epsilon=self.norm_eps, dtype=self.dtype, name=name
-        )
+        from i2v_adapter_tpu.models.layers import layer_norm
+
+        ln = lambda name: layer_norm(self.norm_eps, self.dtype, name)
 
         norm_h = ln("norm1")(hidden_states)
         attn_out = Attention(

@@ -45,6 +45,23 @@ def group_norm(num_groups: int, epsilon: float, dtype, name: str) -> nn.Module:
     )
 
 
+def layer_norm(epsilon: float, dtype, name: str) -> nn.Module:
+    """LayerNorm used by the transformer hot paths (spatial + temporal).
+
+    ``I2V_LAYERNORM=mm`` selects the matmul-stats implementation
+    (ops/norms.py::LayerNormMM, same scale/bias params): nn.LayerNorm
+    reduces over the channel (lane) axis, the same segmented lane-reduce
+    lowering the GroupNorm docstring above describes.  Knob for in-context
+    A/B; nn.LayerNorm stays the default pending a measured win."""
+    import os
+
+    if os.environ.get("I2V_LAYERNORM") == "mm":
+        from i2v_adapter_tpu.ops.norms import LayerNormMM
+
+        return LayerNormMM(epsilon=epsilon, dtype=dtype, name=name)
+    return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+
+
 def timestep_embedding(
     timesteps: jnp.ndarray,
     dim: int,

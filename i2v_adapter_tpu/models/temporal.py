@@ -95,9 +95,9 @@ class TemporalBlock(nn.Module):
         pe = sinusoidal_positional_embedding(f, self.dim).astype(x.dtype)
         pe = pe[None, :, None, :]  # (1, F, 1, C)
 
-        ln = lambda name: nn.LayerNorm(
-            epsilon=self.norm_eps, dtype=self.dtype, name=name
-        )
+        from i2v_adapter_tpu.models.layers import layer_norm
+
+        ln = lambda name: layer_norm(self.norm_eps, self.dtype, name)
         norm_h = ln("norm1")(x) + pe
         x = x + TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,

@@ -995,7 +995,9 @@ def _temporal_flash_cs(
         # keep it near 10 MB.  Lane rule: block_s % 128 == 0 or full S.
         import os
 
-        base = int(os.environ.get("I2V_TEMPORAL_CS_BLOCK_S", "512"))
+        # base sweep at the L0 site (s=4096, d=40), ms/call in-graph:
+        # 256 -> 3.08, 512 -> 3.34, >=1024 -> VMEM compile failure; L1 ties.
+        base = int(os.environ.get("I2V_TEMPORAL_CS_BLOCK_S", "256"))
         if q.dtype.itemsize >= 4:  # fp32 staging doubles every buffer
             base //= 2
         block_s = max(128, base * 40 // d)

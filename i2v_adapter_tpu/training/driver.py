@@ -463,6 +463,7 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
             final_params, model_config,
             os.path.join(task_dir, "pipeline"), tc,
         )
+    metrics_log.finish()
     return {"global_step": global_step, "last_loss": epoch_loss / max(n_steps, 1)}
 
 

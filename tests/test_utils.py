@@ -168,3 +168,22 @@ def test_image_folder_dataset(tmp_path):
     assert item["pixel_values"].shape == (32, 32, 3)
     assert item["text"] == "cats"
     assert -1.01 <= item["pixel_values"].min() <= item["pixel_values"].max() <= 1.01
+
+
+def test_metrics_logger_trackers(tmp_path):
+    """JSONL is always written; wandb/TB trackers activate only if their
+    packages import (reference --report_to surface,
+    train_image_to_video.py:406-414) — absent packages degrade to None
+    without affecting the log."""
+    from i2v_adapter_tpu.utils.metrics import MetricsLogger
+
+    ml = MetricsLogger(
+        str(tmp_path), use_tensorboard=False, use_wandb=True,
+        run_config={"lr": 1e-4},
+    )
+    ml.log(1, {"loss": 0.5})
+    ml.log(2, {"loss": 0.25, "grad_norm": 1.0})
+    ml.finish()  # no-op when wandb never initialized
+    recs = ml.read()
+    assert [r["step"] for r in recs] == [1, 2]
+    assert recs[1]["grad_norm"] == 1.0
