@@ -143,6 +143,17 @@ class VideoUNetConfig(_ConfigBase):
     # from parity suites.  The param tree is identical either way, so
     # checkpoints interchange freely.
     int8_conv: bool = False
+    # Resnet 3x3 conv lowering.  'pallas' = fused GN-apply+SiLU+conv as
+    # nine shifted VMEM matmuls (ops/conv3x3.py) — correct (interpret +
+    # model-level tests) but MEASURED SLOWER in-context on v5e: 512px
+    # UNet step 384.5 vs 356.8 ms, convs-only ablation 72.4 vs 44.9 ms
+    # (profile_unet A/B; XLA's conv emitter fuses the epilogues and
+    # pipelines the scan chain better than the standalone microbench
+    # predicted — see BASELINE.md dead-end ledger).  'auto' therefore
+    # resolves to XLA everywhere; the kernel stays as an opt-in for
+    # shape regimes XLA handles poorly.  The param tree is identical
+    # either way, so checkpoints interchange freely.
+    conv_impl: str = "auto"  # 'auto' (= xla) | 'pallas' | 'xla'
 
     def __post_init__(self):
         if len(self.down_block_has_attention) != len(self.block_out_channels):

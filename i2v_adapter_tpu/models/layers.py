@@ -118,6 +118,33 @@ class _ConvWeights(nn.Module):
         return k, b
 
 
+class _NormParams(nn.Module):
+    """GroupNorm params declared under the SAME path as
+    ``nn.GroupNorm(name=...)`` (``<name>/{scale,bias}``) but returned raw
+    for the fused gn_silu_conv3x3 lowering — the param tree is
+    impl-independent."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        return scale, bias
+
+
+def _fold_gn_affine(h, groups: int, eps: float, gamma, beta):
+    """(B, C) fp32 a/s with silu(h*a + s) == silu(GroupNorm(h))."""
+    from i2v_adapter_tpu.ops.norms import group_norm_stats_matmul
+
+    mean, var = group_norm_stats_matmul(h, groups)
+    rstd = (var + eps) ** -0.5
+    reps = h.shape[-1] // groups
+    a = jnp.repeat(rstd, reps, axis=-1) * gamma[None].astype(jnp.float32)
+    s = beta[None].astype(jnp.float32) - jnp.repeat(
+        mean, reps, axis=-1
+    ) * a
+    return a, s
+
+
 def int8_conv(x: jnp.ndarray, kernel, bias) -> jnp.ndarray:
     """3x3 SAME conv in int8: dynamic per-tensor activation scale +
     per-output-channel weight scales, int32 accumulation, fp32 dequant.
@@ -143,6 +170,22 @@ def _int8_conv_enabled() -> bool:
     return os.environ.get("I2V_INT8_CONV", "0") == "1"
 
 
+def _pallas_conv_enabled() -> bool:
+    """conv_impl='auto' gate.  Default OFF: the fused Pallas conv measured
+    slower in-context than XLA's conv emitter on v5e (512px step 384.5 vs
+    356.8 ms, convs-only 72.4 vs 44.9 — BASELINE.md ledger).  Set
+    I2V_PALLAS_CONV=1 to A/B it on TPU; conv_impl='pallas' forces it
+    (interpret-mode off-TPU, which tests use)."""
+    import os
+
+    if os.environ.get("I2V_PALLAS_CONV", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 class ResnetBlock2D(nn.Module):
     """GroupNorm-SiLU-Conv x2 with timestep injection and 1x1 shortcut."""
 
@@ -154,6 +197,11 @@ class ResnetBlock2D(nn.Module):
     # serving-mode int8 3x3 convs (see VideoUNetConfig.int8_conv); the
     # I2V_INT8_CONV env var remains as an A/B override for profiling tools
     int8: bool = False
+    # 'auto' resolves to XLA (the Pallas conv measured slower in-context,
+    # see VideoUNetConfig.conv_impl); 'pallas' forces the fused
+    # GN+SiLU+conv kernel (ops/conv3x3.py); I2V_PALLAS_CONV=1 turns it
+    # on under 'auto' for on-chip A/Bs.
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -171,9 +219,63 @@ class ResnetBlock2D(nn.Module):
                 name=name,
             )(h)
 
-        h = group_norm(self.groups, self.eps, self.dtype, "norm1")(x)
-        h = nn.silu(h)
-        h = conv3("conv1", h)
+        def norm_silu_conv(norm_name, conv_name, h):
+            """GroupNorm -> SiLU -> 3x3 conv, as ONE Pallas kernel on the
+            fast path: the GN affine folds into per-(batch, channel)
+            vectors and x is read once (the unfused pallas conv measured
+            21 ms/step WORSE in-context because the GN-apply + SiLU that
+            XLA had fused into the conv became standalone HBM passes)."""
+            pallas_ok = not use_int8 and (
+                self.conv_impl == "pallas"
+                or (self.conv_impl == "auto" and _pallas_conv_enabled())
+            )
+            if pallas_ok:
+                from i2v_adapter_tpu.ops.conv3x3 import (
+                    _gn_silu_conv3x3_ref,
+                    conv3x3_supported,
+                    gn_silu_conv3x3,
+                )
+                from i2v_adapter_tpu.ops.norms import group_norm_stats_matmul
+
+                c = h.shape[-1]
+                # params under the same flax paths as nn.GroupNorm/nn.Conv
+                gamma, beta = _NormParams(name=norm_name)(c)
+                k, b = _ConvWeights(self.out_channels, name=conv_name)(c)
+                kc = k.astype(self.dtype)
+                if self.conv_impl == "pallas" or conv3x3_supported(h, kc):
+                    a, s = _fold_gn_affine(
+                        h, self.groups, self.eps, gamma, beta
+                    )
+                    interp = jax.default_backend() != "tpu"
+                    from i2v_adapter_tpu.parallel.spmd import (
+                        current_attention_spmd,
+                        spmd_gn_silu_conv3x3,
+                    )
+
+                    ctx = current_attention_spmd()
+                    if ctx is not None:
+                        out = spmd_gn_silu_conv3x3(
+                            lambda hl, al, sl, kl, bl: gn_silu_conv3x3(
+                                hl, al, sl, kl, bl, interp
+                            ),
+                            h, a, s, kc, b, ctx,
+                        )
+                        if out is not None:
+                            return out
+                        return _gn_silu_conv3x3_ref(h, a, s, kc, b)
+                    return gn_silu_conv3x3(h, a, s, kc, b, interp)
+                return _gn_silu_conv3x3_ref(
+                    h,
+                    *_fold_gn_affine(
+                        h, self.groups, self.eps, gamma, beta
+                    ),
+                    kc, b,
+                )
+            h = group_norm(self.groups, self.eps, self.dtype, norm_name)(h)
+            h = nn.silu(h)
+            return conv3(conv_name, h)
+
+        h = norm_silu_conv("norm1", "conv1", x)
         if self.use_time_emb:
             if temb is None:
                 raise ValueError("temb required")
@@ -181,9 +283,7 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = group_norm(self.groups, self.eps, self.dtype, "norm2")(h)
-        h = nn.silu(h)
-        h = conv3("conv2", h)
+        h = norm_silu_conv("norm2", "conv2", h)
         if in_channels != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"

@@ -188,7 +188,7 @@ class DownBlock(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock2D(
                 out_channels=self.out_channels, groups=cfg.norm_num_groups,
-                eps=cfg.norm_eps, int8=cfg.int8_conv, dtype=self.dtype, name=f"resnets_{i}",
+                eps=cfg.norm_eps, int8=cfg.int8_conv, conv_impl=cfg.conv_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.has_attention:
                 x = SpatialTransformer(
@@ -262,7 +262,7 @@ class UpBlock(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlock2D(
                 out_channels=self.out_channels, groups=cfg.norm_num_groups,
-                eps=cfg.norm_eps, int8=cfg.int8_conv, dtype=self.dtype, name=f"resnets_{i}",
+                eps=cfg.norm_eps, int8=cfg.int8_conv, conv_impl=cfg.conv_impl, dtype=self.dtype, name=f"resnets_{i}",
             )(x, temb)
             if self.has_attention:
                 x = SpatialTransformer(
@@ -320,7 +320,7 @@ class MidBlock(nn.Module):
         num_frames = self.num_frames
         x = ResnetBlock2D(
             out_channels=self.channels, groups=cfg.norm_num_groups,
-            eps=cfg.norm_eps, int8=cfg.int8_conv, dtype=self.dtype, name="resnets_0",
+            eps=cfg.norm_eps, int8=cfg.int8_conv, conv_impl=cfg.conv_impl, dtype=self.dtype, name="resnets_0",
         )(x, temb)
         for i in range(self.num_layers):
             x = SpatialTransformer(
@@ -352,7 +352,7 @@ class MidBlock(nn.Module):
                 )(x, num_frames=num_frames)
             x = ResnetBlock2D(
                 out_channels=self.channels, groups=cfg.norm_num_groups,
-                eps=cfg.norm_eps, int8=cfg.int8_conv, dtype=self.dtype, name=f"resnets_{i + 1}",
+                eps=cfg.norm_eps, int8=cfg.int8_conv, conv_impl=cfg.conv_impl, dtype=self.dtype, name=f"resnets_{i + 1}",
             )(x, temb)
         return x
 

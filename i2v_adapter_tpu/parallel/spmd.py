@@ -161,6 +161,39 @@ def spmd_flash_attention(
     return fn(q, k, v)
 
 
+def spmd_conv3x3(local_call, x, kernel, bias, ctx: AttentionSpmd):
+    """Frame-local 3x3 conv with the (B*F, H, W, C) eval axis sharded over
+    (clip, frame) and the weights replicated — a bare pallas_call inside a
+    GSPMD graph otherwise forces full replication (same property as the
+    attention kernels).  Returns None when dim 0 doesn't shard."""
+    n = ctx.eval_parallelism
+    if n == 1 or x.shape[0] % n:
+        return None
+    spec = P(ctx.eval_axes, None, None, None)
+    fn = _shard_map(
+        local_call, mesh=ctx.mesh,
+        in_specs=(spec, P(), P()), out_specs=spec, check_vma=False,
+    )
+    return fn(x, kernel, bias)
+
+
+def spmd_gn_silu_conv3x3(local_call, x, a, s, kernel, bias,
+                         ctx: AttentionSpmd):
+    """Fused GN-apply+SiLU+conv with the eval axis sharded over
+    (clip, frame); the (B, C) affine vectors shard with it, weights
+    replicated.  Returns None when dim 0 doesn't shard."""
+    n = ctx.eval_parallelism
+    if n == 1 or x.shape[0] % n:
+        return None
+    spec = P(ctx.eval_axes, None, None, None)
+    vec = P(ctx.eval_axes, None)
+    fn = _shard_map(
+        local_call, mesh=ctx.mesh,
+        in_specs=(spec, vec, vec, P(), P()), out_specs=spec, check_vma=False,
+    )
+    return fn(x, a, s, kernel, bias)
+
+
 def spmd_temporal_attention(local_call, q, k, v, heads: int, ctx: AttentionSpmd):
     """Frame-axis attention with (B, F, S, C) operands sharded
     (clip, frame): K/V frames are all-gathered inside the shard (F is tiny)

@@ -235,3 +235,28 @@ def test_pipeline_mesh_envelope_scales(tiny_mesh_pipeline, mesh222):
         pipe._check_memory_envelope(evals, 128, 128, 8)  # now passes
     finally:
         pipe.disable_mesh()
+
+
+def test_spmd_conv3x3_matches_plain(rng, mesh222):
+    """The Pallas conv through the (clip, frame)-sharded wrapper ==
+    unsharded (weights replicated, eval axis split)."""
+    from i2v_adapter_tpu.ops.conv3x3 import conv3x3_pallas
+    from i2v_adapter_tpu.parallel.spmd import attention_spmd, spmd_conv3x3
+
+    x = _rand(rng, (4, 8, 8, 128))
+    k = _rand(rng, (3, 3, 128, 128)) / 20
+    b = _rand(rng, (128,))
+    ref = conv3x3_pallas(x, k, b, interpret=True)
+    with mesh222:
+        with attention_spmd(mesh222) as ctx:
+            out = jax.jit(
+                lambda x, k, b: spmd_conv3x3(
+                    lambda hl, kl, bl: conv3x3_pallas(
+                        hl, kl, bl, interpret=True
+                    ),
+                    x, k, b, ctx,
+                )
+            )(x, k, b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4
+    )
