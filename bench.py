@@ -37,6 +37,14 @@ def main() -> int:
         num_frames=frames, height=height, width=width,
         num_inference_steps=steps, dtype="bfloat16", blur_sigma=1.0,
     )
+    if pipe_config.int8_conv:
+        # mirror I2VAdapterPipeline.__init__'s serving default (this bench
+        # builds the pipe without the constructor): int8 UNet/VAE-decoder
+        # convs, identical param tree
+        model_config = model_config.replace(
+            unet=model_config.unet.replace(int8_conv=True),
+            vae=model_config.vae.replace(int8_decode=True),
+        )
 
     # construct without tokenizer/real weights: zero params by shape
     pipe = I2VAdapterPipeline.__new__(I2VAdapterPipeline)
@@ -215,7 +223,7 @@ def main() -> int:
         _bench_loader()
 
     print(json.dumps({
-        "metric": "p50 clip latency, 512px 16-frame 25-step DDIM + CFG + IP-Adapter, bf16, 1 chip",
+        "metric": "p50 clip latency, 512px 16-frame 25-step DDIM + CFG + IP-Adapter, bf16 (serving-default int8 convs), 1 chip",
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(4.0 / p50, 3),

@@ -191,6 +191,12 @@ class VAEConfig(_ConfigBase):
     act_fn: str = "silu"
     scaling_factor: float = 0.18215
     sample_size: int = 512
+    # Serving-mode int8 DECODER convs (resnets + upsamples), mirroring
+    # VideoUNetConfig.int8_conv.  The encoder stays exact — the condition
+    # image's latent anchors the whole clip (first-frame clamp), so
+    # quantizing the encode would propagate into every frame.  Param tree
+    # identical either way.
+    int8_decode: bool = False
 
     @property
     def spatial_scale_factor(self) -> int:
@@ -281,6 +287,14 @@ class PipelineConfig(_ConfigBase):
     blur_sigma: Optional[float] = None
     eta: float = 0.0
     dtype: str = "bfloat16"
+    # Serving-mode int8 convs (UNet resnet/down/upsample 3x3s +
+    # VAE-decoder convs; VideoUNetConfig.int8_conv / VAEConfig.int8_decode).
+    # Measured on v5e: 512px UNet step 388.6 -> 367.7 ms and 16-frame
+    # decode ~1.25x, at ~1e-2 relative quantization error per conv
+    # (full-pipeline PSNR vs the exact path tested > 35 dB).  Serving-only:
+    # training never reads PipelineConfig, and parity suites construct
+    # their configs directly.  Set False to restore exact bf16 convs.
+    int8_conv: bool = True
     # Temporal tiling for clips longer than the motion-module positional cap
     # (windowed denoising with overlap blending; see pipelines/tiling.py).
     temporal_window: int = 16

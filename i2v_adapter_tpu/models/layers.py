@@ -145,19 +145,22 @@ def _fold_gn_affine(h, groups: int, eps: float, gamma, beta):
     return a, s
 
 
-def int8_conv(x: jnp.ndarray, kernel, bias) -> jnp.ndarray:
-    """3x3 SAME conv in int8: dynamic per-tensor activation scale +
-    per-output-channel weight scales, int32 accumulation, fp32 dequant.
-    Serving-mode numerics (quantization error ~1e-2 relative); round-2
-    measured the raw int8 conv 1.34x over bf16 on v5e while int8 matmul
-    gained nothing."""
+def int8_conv(
+    x: jnp.ndarray, kernel, bias, strides=(1, 1), padding="SAME"
+) -> jnp.ndarray:
+    """Conv in int8: dynamic per-tensor activation scale + per-output-
+    channel weight scales, int32 accumulation, fp32 dequant.  Serving-mode
+    numerics (quantization error ~1e-2 relative); round-2 measured the raw
+    int8 conv 1.34x over bf16 on v5e while int8 matmul gained nothing.
+    ``strides``/``padding`` cover the stride-2 downsample and the
+    pre-padded VALID VAE-encoder variants."""
     f32 = jnp.float32
     ws = jnp.max(jnp.abs(kernel.astype(f32)), axis=(0, 1, 2)) / 127.0
     wq = jnp.round(kernel.astype(f32) / ws).astype(jnp.int8)
     xs = jnp.maximum(jnp.max(jnp.abs(x.astype(f32))), 1e-12) / 127.0
     xq = jnp.round(x.astype(f32) / xs).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
-        xq, wq, (1, 1), "SAME",
+        xq, wq, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -297,6 +300,7 @@ class Downsample2D(nn.Module):
 
     out_channels: int
     asymmetric_pad: bool = False
+    int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -306,6 +310,10 @@ class Downsample2D(nn.Module):
             pad = "VALID"
         else:
             pad = 1
+        if self.int8 or _int8_conv_enabled():
+            k, b = _ConvWeights(self.out_channels, name="conv")(x.shape[-1])
+            lax_pad = "VALID" if pad == "VALID" else ((1, 1), (1, 1))
+            return int8_conv(x, k, b, strides=(2, 2), padding=lax_pad)
         return nn.Conv(
             self.out_channels, (3, 3), strides=(2, 2), padding=pad,
             dtype=self.dtype, name="conv",
@@ -316,12 +324,16 @@ class Upsample2D(nn.Module):
     """Nearest-neighbor 2x upsample + 3x3 conv."""
 
     out_channels: int
+    int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.int8 or _int8_conv_enabled():
+            k, bias = _ConvWeights(self.out_channels, name="conv")(c)
+            return int8_conv(x, k, bias)
         return nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
         )(x)

@@ -220,7 +220,7 @@ class DownBlock(nn.Module):
                 )(x, num_frames=num_frames)
             skips.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, int8=cfg.int8_conv, dtype=self.dtype, name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
 
@@ -293,7 +293,7 @@ class UpBlock(nn.Module):
                     name=f"motion_modules_{i}",
                 )(x, num_frames=num_frames)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, int8=cfg.int8_conv, dtype=self.dtype, name="upsamplers_0")(x)
         return x
 
 

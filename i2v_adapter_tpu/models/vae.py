@@ -112,13 +112,13 @@ class Decoder(nn.Module):
         x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         x = ResnetBlock2D(
             out_channels=ch, use_time_emb=False, groups=cfg.norm_num_groups,
-            eps=1e-6, dtype=self.dtype, name="mid_resnets_0",
+            eps=1e-6, int8=cfg.int8_decode, dtype=self.dtype, name="mid_resnets_0",
         )(x)
         x = VAEAttention(ch, groups=cfg.norm_num_groups, dtype=self.dtype,
                          name="mid_attn")(x)
         x = ResnetBlock2D(
             out_channels=ch, use_time_emb=False, groups=cfg.norm_num_groups,
-            eps=1e-6, dtype=self.dtype, name="mid_resnets_1",
+            eps=1e-6, int8=cfg.int8_decode, dtype=self.dtype, name="mid_resnets_1",
         )(x)
         n = len(reversed_ch)
         for i, ch in enumerate(reversed_ch):
@@ -126,10 +126,11 @@ class Decoder(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 x = ResnetBlock2D(
                     out_channels=ch, use_time_emb=False, groups=cfg.norm_num_groups,
-                    eps=1e-6, dtype=self.dtype, name=f"up_{i}_resnets_{j}",
+                    eps=1e-6, int8=cfg.int8_decode, dtype=self.dtype, name=f"up_{i}_resnets_{j}",
                 )(x)
             if i < n - 1:
-                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+                x = Upsample2D(ch, int8=cfg.int8_decode, dtype=self.dtype,
+                               name=f"up_{i}_upsample")(x)
         x = group_norm(
             cfg.norm_num_groups, 1e-6, self.dtype, "conv_norm_out"
         )(x)

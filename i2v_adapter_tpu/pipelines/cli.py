@@ -54,9 +54,10 @@ def parse_args(argv=None):
         "'auto' switches on estimated per-clip UNet work.",
     )
     p.add_argument(
-        "--int8_conv", action="store_true",
-        help="serving-mode int8 resnet convs (~5%% faster UNet step, "
-        "~1e-2 relative quantization error; see VideoUNetConfig.int8_conv)",
+        "--int8_conv", action=argparse.BooleanOptionalAction, default=True,
+        help="serving-mode int8 convs (UNet 3x3s + VAE decoder; ~1e-2 "
+        "relative quantization error, full-pipeline PSNR > 35 dB vs exact; "
+        "--no-int8_conv restores exact bf16 convs)",
     )
     return p.parse_args(argv)
 
@@ -86,6 +87,7 @@ def main(argv=None):
         guidance_scale=args.guidance_scale,
         frame_similarity_sample_ratio=args.frame_similarity_sample_ratio,
         dtype=args.dtype,
+        int8_conv=args.int8_conv,
     )
     pipe = I2VAdapterPipeline.from_pretrained(
         args.pretrained_model_path,
@@ -98,8 +100,6 @@ def main(argv=None):
             else None
         ),
     )
-    if args.int8_conv:
-        pipe.enable_int8_conv()
     if args.mesh:
         from i2v_adapter_tpu.config import MeshConfig
         from i2v_adapter_tpu.parallel.mesh import create_mesh

@@ -62,6 +62,13 @@ class I2VAdapterPipeline:
         tokenizer: CLIPTokenizer,
         pipeline_config: PipelineConfig = PipelineConfig(),
     ):
+        if pipeline_config.int8_conv:
+            # serving default: int8 UNet/VAE-decoder convs (identical param
+            # tree; PipelineConfig.int8_conv=False restores exact convs)
+            model_config = model_config.replace(
+                unet=model_config.unet.replace(int8_conv=True),
+                vae=model_config.vae.replace(int8_decode=True),
+            )
         self.config = model_config
         self.pipe_config = pipeline_config
         self.params = params
@@ -132,14 +139,19 @@ class I2VAdapterPipeline:
         self.__dict__.setdefault("_sampler_cache", {}).clear()
 
     def enable_int8_conv(self, enabled: bool = True) -> None:
-        """Serving-mode int8 resnet convs (VideoUNetConfig.int8_conv:
-        measured 388.6 -> 367.7 ms per 512px UNet step on v5e at ~1e-2
-        relative quantization error).  Param tree is unchanged — no
-        reload needed — but compiled samplers are dropped."""
+        """Serving-mode int8 convs — UNet resnet/down/upsample 3x3s
+        (VideoUNetConfig.int8_conv: measured 388.6 -> 367.7 ms per 512px
+        UNet step on v5e) and VAE-decoder convs (VAEConfig.int8_decode),
+        at ~1e-2 relative quantization error.  ON by default
+        (PipelineConfig.int8_conv); call with False for exact convs.
+        Param tree is unchanged — no reload needed — but compiled
+        samplers are dropped."""
         self.config = self.config.replace(
-            unet=self.config.unet.replace(int8_conv=enabled)
+            unet=self.config.unet.replace(int8_conv=enabled),
+            vae=self.config.vae.replace(int8_decode=enabled),
         )
         self.unet = VideoUNet(self.config.unet, dtype=self.dtype)
+        self.vae = AutoencoderKL(self.config.vae, dtype=self.dtype)
         self.__dict__.setdefault("_sampler_cache", {}).clear()
 
     def load_lora_weights(self, path: str, scale: float = 1.0) -> int:

@@ -259,6 +259,38 @@ def test_int8_conv_param_tree_and_psnr(rng):
     assert db > 35.0, db
 
 
+def test_int8_vae_decode_param_tree_and_psnr(rng):
+    """``VAEConfig.int8_decode=True`` (serving default via
+    PipelineConfig.int8_conv) quantizes DECODER convs only: identical param
+    tree, decode output > 35 dB vs exact, and the encoder path must be
+    BIT-IDENTICAL (the condition image's latent anchors the clip)."""
+    from i2v_adapter_tpu.tools.parity import psnr
+
+    cfg_exact = CFG.vae
+    cfg_q = cfg_exact.replace(int8_decode=True)
+    vae_e = AutoencoderKL(cfg_exact)
+    vae_q = AutoencoderKL(cfg_q)
+    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    params = vae_e.init(jax.random.PRNGKey(0), img)
+    params_q = vae_q.init(jax.random.PRNGKey(0), img)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_q
+    )
+    enc_e = vae_e.apply(params, img, method=vae_e.encode_moments)
+    enc_q = vae_q.apply(params, img, method=vae_q.encode_moments)
+    np.testing.assert_array_equal(np.asarray(enc_e), np.asarray(enc_q))
+    lat = 32 // cfg_exact.spatial_scale_factor
+    z = jnp.asarray(
+        rng.standard_normal((2, lat, lat, cfg_exact.latent_channels)).astype(
+            np.float32
+        )
+    )
+    dec_e = vae_e.apply(params, z, method=vae_e.decode)
+    dec_q = vae_q.apply(params, z, method=vae_q.decode)
+    db = psnr(np.asarray(dec_e), np.asarray(dec_q))
+    assert db > 35.0, db
+
+
 def test_fused_qkv_matches_unfused(rng, monkeypatch):
     """I2V_FUSE_QKV=1 concatenates the q/k/v kernels into one matmul with an
     IDENTICAL param tree; outputs must match the three-Dense path."""

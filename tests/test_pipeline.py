@@ -118,12 +118,21 @@ def test_temporal_tiling_long_clip(tiny_pipeline):
 def test_unet_chunking_matches_unchunked(tiny_pipeline):
     """Forward chunking (the reference's enable_forward_chunking analogue)
     is a pure memory knob: chunked and unchunked samplers must agree."""
-    img = (np.random.default_rng(2).random((32, 32, 3)) * 255).astype(np.uint8)
-    v_full = tiny_pipeline(["a", "b"], condition_image=img, seed=5,
-                           output_type="float")
-    v_chunk = tiny_pipeline(["a", "b"], condition_image=img, seed=5,
-                            unet_chunk=2, output_type="float")
-    np.testing.assert_allclose(v_full, v_chunk, atol=2e-5)
+    # exact convs: int8's dynamic activation scale reduces over whatever
+    # batch the conv sees, so chunking genuinely changes the quantization
+    # grid — the knob is only bit-pure on the exact path
+    tiny_pipeline.enable_int8_conv(False)
+    try:
+        img = (
+            np.random.default_rng(2).random((32, 32, 3)) * 255
+        ).astype(np.uint8)
+        v_full = tiny_pipeline(["a", "b"], condition_image=img, seed=5,
+                               output_type="float")
+        v_chunk = tiny_pipeline(["a", "b"], condition_image=img, seed=5,
+                                unet_chunk=2, output_type="float")
+        np.testing.assert_allclose(v_full, v_chunk, atol=2e-5)
+    finally:
+        tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
 
 
 def test_eta_strength_tiling_combination(tiny_pipeline):
@@ -194,6 +203,10 @@ def test_stepwise_dispatch_matches_scan(tiny_pipeline):
     same part functions as the fused lax.scan sampler and must reproduce
     it — including with eta>0 (per-step noise keys thread identically) and
     temporal tiling."""
+    # exact convs: this asserts dispatch-path equivalence at 2e-5, and the
+    # serving-default int8 quantization turns ulp-level jit-boundary diffs
+    # into whole quantization-bucket flips
+    tiny_pipeline.enable_int8_conv(False)
     img = (np.random.default_rng(5).random((32, 32, 3)) * 255).astype(np.uint8)
     v_scan = tiny_pipeline("a cat", condition_image=img, seed=9,
                            output_type="float", dispatch="scan")
@@ -216,7 +229,7 @@ def test_stepwise_dispatch_matches_scan(tiny_pipeline):
         np.testing.assert_allclose(v1, v2, atol=2e-5)
     finally:
         tiny_pipeline.pipe_config = old
-        tiny_pipeline._sampler_cache.clear()
+        tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
 
 
 def test_output_type_latent_matches_decoded(tiny_pipeline):
@@ -225,20 +238,29 @@ def test_output_type_latent_matches_decoded(tiny_pipeline):
     VAE reproduces the decoded output exactly."""
     import jax.numpy as jnp
 
-    img = (np.random.default_rng(6).random((32, 32, 3)) * 255).astype(np.uint8)
-    lat = tiny_pipeline("a cat", condition_image=img, seed=9,
-                        output_type="latent")
-    assert lat.shape == (1, 2, 16, 16, 4)
-    video = tiny_pipeline("a cat", condition_image=img, seed=9,
-                          output_type="float")
-    scale = tiny_pipeline.config.vae.scaling_factor
-    flat = jnp.asarray(lat.reshape(2, 16, 16, 4) / scale)
-    dec = tiny_pipeline.vae.apply(
-        tiny_pipeline.params["vae"], flat, method=tiny_pipeline.vae.decode
-    )
-    np.testing.assert_allclose(
-        np.asarray(dec).reshape(1, 2, 32, 32, 3), video, atol=2e-5
-    )
+    # exact convs: the out-of-jit re-decode below must match the jitted
+    # pipeline decode at 2e-5; int8's dynamic-scale rounding flips buckets
+    # on ulp-level jit-boundary diffs
+    tiny_pipeline.enable_int8_conv(False)
+    try:
+        img = (
+            np.random.default_rng(6).random((32, 32, 3)) * 255
+        ).astype(np.uint8)
+        lat = tiny_pipeline("a cat", condition_image=img, seed=9,
+                            output_type="latent")
+        assert lat.shape == (1, 2, 16, 16, 4)
+        video = tiny_pipeline("a cat", condition_image=img, seed=9,
+                              output_type="float")
+        scale = tiny_pipeline.config.vae.scaling_factor
+        flat = jnp.asarray(lat.reshape(2, 16, 16, 4) / scale)
+        dec = tiny_pipeline.vae.apply(
+            tiny_pipeline.params["vae"], flat, method=tiny_pipeline.vae.decode
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec).reshape(1, 2, 32, 32, 3), video, atol=2e-5
+        )
+    finally:
+        tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
 
 
 def test_dispatch_auto_selects_stepwise_for_huge_work(tiny_pipeline, monkeypatch):
