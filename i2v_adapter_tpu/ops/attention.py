@@ -971,6 +971,44 @@ def _temporal_kernel_cs(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = jnp.stack(outs, axis=0)
 
 
+def _cs_block_s(s: int, d: int, f: int, itemsize: int):
+    """Legal S-block for the CS kernel, or None if no legal block fits.
+
+    Mosaic's lane rule: the minor block dim must be a multiple of 128 or
+    equal to the full array dim.  512px spatial sites (4096/1024/256/64)
+    are powers of two, but 768px sites (96^2=9216, 48^2=2304, 24^2=576,
+    12^2=144) include sizes with NO 128-multiple divisor (2^7 does not
+    divide 576 or 144) — the only legal block there is the whole S axis,
+    which must also fit the scoped-VMEM budget (~28*f*d bytes per unit of
+    block_s: 3 double-buffered bf16 inputs + 3 fp32 staging copies +
+    double-buffered bf16 out; capped at 8 MB below).  Found by BASELINE
+    config 5 crashing at the c=1280 s=576 site (round 3, session 4)."""
+    import os
+
+    base = int(os.environ.get("I2V_TEMPORAL_CS_BLOCK_S", "256"))
+    if itemsize >= 4:  # fp32 staging doubles every buffer
+        base //= 2
+    # base sweep at the L0 site (s=4096, d=40), ms/call in-graph:
+    # 256 -> 3.08, 512 -> 3.34, >=1024 -> VMEM compile failure; L1 ties.
+    bs = min(max(128, base * 40 // d), s)
+    if s % bs:
+        bs = math.gcd(s, bs)
+    if bs % 128 == 0:
+        return bs
+    # Mosaic's scoped-VMEM accounting measured ~2x this double-buffered
+    # estimate (s=144/d=160 full-S: 19.57M reported vs 10.3M estimated),
+    # so the cap is conservative; the einsum path wins at these small
+    # sites anyway (s=64 A/B: cs 10.3 vs mxu 1.38 ms/call).
+    budget_per_s = 28 * max(f, 1) * d
+    vmem_cap = 8 * 1024 * 1024
+    for m in range(128, s, 128):
+        if s % m == 0 and m * budget_per_s <= vmem_cap:
+            return m
+    if s * budget_per_s <= vmem_cap:
+        return s  # full-S block is lane-legal at any size
+    return None
+
+
 def _temporal_flash_cs(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
     block_s: int = 0, interpret: bool = False,
@@ -990,17 +1028,13 @@ def _temporal_flash_cs(
     kt = jnp.transpose(k, (0, 1, 3, 2))
     vt = jnp.transpose(v, (0, 1, 3, 2))
     if block_s == 0:
-        # VMEM per program ~ F*d*block_s*(bf16 in x3 double-buffered
-        # + fp32 staging x3 + bf16 out x2) ~= 448*d*block_s bytes at F=16;
-        # keep it near 10 MB.  Lane rule: block_s % 128 == 0 or full S.
-        import os
-
-        # base sweep at the L0 site (s=4096, d=40), ms/call in-graph:
-        # 256 -> 3.08, 512 -> 3.34, >=1024 -> VMEM compile failure; L1 ties.
-        base = int(os.environ.get("I2V_TEMPORAL_CS_BLOCK_S", "256"))
-        if q.dtype.itemsize >= 4:  # fp32 staging doubles every buffer
-            base //= 2
-        block_s = max(128, base * 40 // d)
+        block_s = _cs_block_s(s, d, f, q.dtype.itemsize)
+        if block_s is None:
+            raise ValueError(
+                f"no Mosaic-legal S-block for CS temporal kernel at s={s}, "
+                f"d={d}, f={f} — dispatch should have routed this site to "
+                "the einsum path (temporal_attention impl='auto')"
+            )
     block_s = min(block_s, s)
     if s % block_s != 0:
         block_s = math.gcd(s, block_s)
@@ -1131,7 +1165,13 @@ def temporal_attention(
         cs_min = int(os.environ.get("I2V_TEMPORAL_CS_MIN", "128"))
         if forced:
             impl = forced
-        elif impl != "xla" and _on_tpu() and s >= cs_min:
+        elif (
+            impl != "xla" and _on_tpu() and s >= cs_min
+            and _cs_block_s(s, d, f, q.dtype.itemsize) is not None
+        ):
+            # sites with no Mosaic-legal S-block (768px: s=576/144 have no
+            # 128-multiple divisor and full-S overruns VMEM at d=160) fall
+            # through to the einsum lowerings
             impl = "pallas_cs"
         elif impl != "xla" and _on_tpu() and os.environ.get(
             "I2V_TEMPORAL_SMALL_IMPL"

@@ -83,6 +83,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--noise_offset", type=float, default=0.0)
     p.add_argument("--input_perturbation", type=float, default=0.0)
     p.add_argument("--prediction_type", type=str, default=None)
+    p.add_argument("--text_padding", type=str, default="max_length",
+                   choices=["max_length", "longest"],
+                   help="prompt tokenization padding.  'max_length' (default)"
+                        " compiles ONE jit-static step and matches the "
+                        "conditioning length the pipeline serves with; "
+                        "'longest' reproduces the reference's training recipe"
+                        " (train_image_to_video.py:818) with batch lengths "
+                        "bucketed to multiples of 8 (one step retrace per "
+                        "bucket, <= 10 total)")
     p.add_argument("--mixed_precision", type=str, default="bfloat16",
                    choices=["none", "bfloat16"])
     p.add_argument("--freeze_dtype", type=str, default="float32",
@@ -365,22 +374,36 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         for batch in loader:
             if args.profile_steps and global_step == 2:
                 jax.profiler.start_trace(os.path.join(task_dir, "profile"))
-            # DELIBERATE DEVIATION: the reference trains with
-            # padding='longest' (/root/reference/src/train_image_to_video.py:818)
-            # while its own inference pads to max_length — so the UNet sees
-            # different cross-attn context lengths at train vs serve time.
-            # Here training pads to max_length too: the jitted step compiles
-            # once (jit-static shapes) AND the conditioning tensor matches
+            # The reference trains with padding='longest'
+            # (/root/reference/src/train_image_to_video.py:818) while its own
+            # inference pads to max_length — so its UNet sees different
+            # cross-attn context lengths at train vs serve time.  The default
+            # here pads to max_length: the jitted step compiles once
+            # (jit-static shapes) AND the conditioning tensor matches
             # inference exactly (pad-position hidden states included, as at
-            # serve time).  utils/tokenizer.py supports padding='longest'
-            # for anyone reproducing the reference's exact recipe with
-            # bucketed lengths.  Recorded in docs/PARITY.md.
-            text_ids = pipe.tokenizer(batch.pop("text"), padding="max_length")
+            # serve time).  --text_padding longest reproduces the reference
+            # recipe with lengths bucketed to multiples of 8 so the step
+            # retraces once per bucket, not per batch.  Recorded in
+            # docs/PARITY.md.
+            if args.text_padding == "longest":
+                text_ids = pipe.tokenizer(batch.pop("text"), padding="longest")
+                ctx = uncond_ids.shape[1]
+                bucket = min(ctx, max(8, -(-text_ids.shape[1] // 8) * 8))
+                if text_ids.shape[1] < bucket:
+                    text_ids = np.pad(
+                        text_ids,
+                        ((0, 0), (0, bucket - text_ids.shape[1])),
+                        constant_values=pipe.tokenizer.eos,
+                    )
+                u_ids = uncond_ids[: text_ids.shape[0], :bucket]
+            else:
+                text_ids = pipe.tokenizer(batch.pop("text"), padding="max_length")
+                u_ids = uncond_ids[: text_ids.shape[0]]
             device_batch = put({
                 "pixel_values": batch["pixel_values"],
                 "clip_image": batch["clip_image"],
                 "text_ids": text_ids,
-                "uncond_ids": uncond_ids[: text_ids.shape[0]],
+                "uncond_ids": u_ids,
             })
             rng, step_rng = jax.random.split(rng)
             with timer:

@@ -90,6 +90,18 @@ def test_i2v_driver_resumes_from_epoch(env):
     assert result["global_step"] >= 3  # resumed past epoch 1
 
 
+def test_text_padding_longest(env):
+    """--text_padding longest reproduces the reference's training
+    tokenization (train_image_to_video.py:818): the jitted step runs with
+    bucketed (multiple-of-8) prompt lengths shorter than context_length
+    and still converges to a finite loss."""
+    cfg = tiny_test_config()
+    args = _args(env, task_name="longest_task", text_padding="longest")
+    result = train(args, model_config=cfg)
+    assert result["global_step"] == 2
+    assert np.isfinite(result["last_loss"])
+
+
 def test_ema_checkpoint_exports_ema_tree(env):
     """With --use_ema the epoch adapter checkpoint holds the EMA average
     (not the raw weights), and the raw tree lands in non_ema/ (VERDICT r1 #3;

@@ -238,6 +238,32 @@ def test_temporal_attention_cs_matches_f64(rng):
     np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-4, atol=1e-5)
 
 
+def test_cs_block_s_mosaic_legality():
+    """Block selection for the CS kernel must only return Mosaic-legal
+    S-blocks (multiple of 128 or the full S axis within VMEM budget), and
+    None where no legal block exists — the 768px temporal sites
+    (s=576/144 at d=160) have no 128-multiple divisor at all, which
+    crashed BASELINE config 5 until the dispatch learned to fall back to
+    the einsum path (round 3, session 4)."""
+    from i2v_adapter_tpu.ops.attention import _cs_block_s
+
+    # 512px family (powers of two): 128-multiple blocks exist everywhere
+    assert _cs_block_s(4096, 40, 16, 2) == 256
+    assert _cs_block_s(1024, 80, 16, 2) == 128
+    assert _cs_block_s(256, 160, 16, 2) == 128
+    # 768px family: 9216/2304 divide by 128; 576/144 have no 128-multiple
+    # divisor and a full-S block overruns Mosaic's scoped VMEM at d=160
+    # (measured 19.57M > 16M at s=144) -> None, einsum fallback
+    assert _cs_block_s(9216, 40, 16, 2) == 256
+    assert _cs_block_s(2304, 80, 16, 2) == 128
+    assert _cs_block_s(576, 160, 16, 2) is None
+    assert _cs_block_s(144, 160, 16, 2) is None
+    for s, d in [(9216, 40), (2304, 80)]:
+        bs = _cs_block_s(s, d, 16, 2)
+        assert bs % 128 == 0 or bs == s
+        assert s % bs == 0
+
+
 def test_temporal_attention_cs_query_slice_matches_full(rng):
     """fq < f (the seq-sharded SPMD slice): CS kernel on a query-frame
     slice == the matching rows of the full-frame result."""
