@@ -143,7 +143,7 @@ def _flash_kernel(
 def _flash_kernel_t(
     q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     *, kv_len: int, block_kv: int, out_t: bool = False,
-    static_max: float = 0.0, lse_ref=None,
+    static_max: float = 0.0, lse_ref=None, fused_rowsum: bool = False,
 ):
     """Transposed-input variant: q/k/v arrive as (1, Dp, block) — the layout
     the projection matmuls already produce on TPU ((B,H,D,N) row-major is
@@ -170,6 +170,22 @@ def _flash_kernel_t(
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
         s = jnp.where(col < kv_len, s, -1e30)
 
+    dp = v_ref.shape[1]
+    if fused_rowsum:
+        # Fold the softmax row-sum into the p@v MXU dot: append an 8-row
+        # ones block to the v tile (sublane rule needs multiples of 8) so
+        # output lanes [dp:dp+8] each hold sum_k p — the output tile is
+        # 128 lanes either way (d = 40/80/160 all stay within the same
+        # lane-tile count), so the MXU does the reduction for free and the
+        # cross-lane jnp.sum VPU pass disappears.  The in-VMEM concat
+        # copies dp*block_kv v-elements — 1/12.8th of one score pass at
+        # block_q=512.  l then lives in acc column dp; l_scratch is unused.
+        vb = jnp.concatenate(
+            [v_ref[0], jnp.ones((8, v_ref.shape[2]), v_ref.dtype)], axis=0
+        )
+    else:
+        vb = v_ref[0]
+
     if static_max:
         # Static-offset softmax: exp2(s - C) with a compile-time C instead
         # of the per-row running max.  Exact for log2-scores in
@@ -179,38 +195,44 @@ def _flash_kernel_t(
         # (block_q, block_kv) max pass AND the online rescale machinery —
         # the kernel is VPU-softmax-bound, so one fewer pass is ~20%.
         p = jnp.exp2(s - static_max)
-        l_new = l_scratch[:] + jnp.broadcast_to(
-            jnp.sum(p, axis=-1, keepdims=True), l_scratch.shape
-        )
-        l_scratch[:] = l_new
+        if not fused_rowsum:
+            l_scratch[:] = l_scratch[:] + jnp.broadcast_to(
+                jnp.sum(p, axis=-1, keepdims=True), l_scratch.shape
+            )
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
+            p.astype(v_ref.dtype), vb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scratch[:] = acc_scratch[:] + pv
     else:
         m_prev = m_scratch[:]
-        l_prev = l_scratch[:]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
         p = jnp.exp2(s - m_new[:, :1])
-        l_new = alpha * l_prev + jnp.broadcast_to(
-            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
-        )
+        if not fused_rowsum:
+            l_scratch[:] = alpha * l_scratch[:] + jnp.broadcast_to(
+                jnp.sum(p, axis=-1, keepdims=True), l_scratch.shape
+            )
 
         m_scratch[:] = m_new
-        l_scratch[:] = l_new
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
+            p.astype(v_ref.dtype), vb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block_q, d_pad)
+        )  # (block_q, d_pad [+8])
+        # with fused_rowsum the alpha rescale applies to the l column of
+        # acc exactly as the explicit l update did
         acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + pv
 
     @pl.when(j == num_kv - 1)
     def _finalize():
-        o = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+        if fused_rowsum:
+            l_col = acc_scratch[:, dp : dp + 1]
+            o = (acc_scratch[:, :dp] / l_col).astype(o_ref.dtype)
+        else:
+            l_col = l_scratch[:, :1]
+            o = (acc_scratch[:] / l_col).astype(o_ref.dtype)
         # out_t writes (d_pad, block_q): the in-VMEM transpose is a few
         # thousand elements; it lets the HBM output keep the N-minor layout
         # the to_out matmul can read without a materialized copy.
@@ -224,7 +246,7 @@ def _flash_kernel_t(
             m_term = (
                 jnp.float32(static_max) if static_max else m_scratch[:, :1]
             )
-            lse = m_term + jnp.log2(l_scratch[:, :1])  # (block_q, 1)
+            lse = m_term + jnp.log2(l_col)  # (block_q, 1)
             lse_ref[0] = jnp.transpose(lse, (1, 0))
 
 
@@ -242,6 +264,7 @@ def _flash_forward_t(
     transposed_out: bool = False,
     static_max: float = 0.0,
     with_stats: bool = False,
+    fused_rowsum: bool = False,
 ):
     bh, dp, nq_pad = q3.shape
     _, _, nk_pad = k3.shape
@@ -263,6 +286,7 @@ def _flash_forward_t(
     kernel = functools.partial(
         _flash_kernel_t, kv_len=kv_len, block_kv=block_kv,
         out_t=transposed_out, static_max=static_max,
+        fused_rowsum=fused_rowsum,
     )
     if transposed_out:
         out_spec = pl.BlockSpec((1, dp, block_q), o_index_t, memory_space=pltpu.VMEM)
@@ -280,6 +304,7 @@ def _flash_forward_t(
                 q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
                 kv_len=_kv_len, block_kv=block_kv, out_t=transposed_out,
                 static_max=static_max, lse_ref=lse_ref,
+                fused_rowsum=fused_rowsum,
             )
 
         out_specs.append(
@@ -302,7 +327,7 @@ def _flash_forward_t(
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANE), jnp.float32),
             pltpu.VMEM((block_q, _LANE), jnp.float32),
-            pltpu.VMEM((block_q, dp), jnp.float32),
+            pltpu.VMEM((block_q, dp + 8 if fused_rowsum else dp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -387,6 +412,7 @@ def flash_attention(
     transposed_out: bool = False,
     static_max: float = 0.0,
     with_stats: bool = False,
+    fused_rowsum: Optional[bool] = None,
 ):
     """Pallas fused attention. Shapes as in module docstring.
 
@@ -431,12 +457,22 @@ def flash_attention(
                 x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
             return x.reshape(b * h, dp, n_pad)
 
+        if fused_rowsum is None:
+            # MXU row-sum: fold the softmax denominator into the p@v dot
+            # via an in-kernel 8-row ones block on v — deletes the
+            # cross-lane jnp.sum VPU pass (the kernel is VPU-bound).
+            # A/B knob; see BASELINE.md round-3 ledger for the measurement.
+            import os
+
+            fused_rowsum = (
+                os.environ.get("I2V_FLASH_FUSED_ROWSUM", "0") == "1"
+            )
         o3 = _flash_forward_t(
             to3t(q, nq_pad), to3t(k, nk_pad), to3t(v, nk_pad),
             heads=h, kv_repeat=kv_repeat, kv_len=nk,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
             transposed_out=transposed_out, static_max=static_max,
-            with_stats=with_stats,
+            with_stats=with_stats, fused_rowsum=fused_rowsum,
         )
         lse = None
         if with_stats:

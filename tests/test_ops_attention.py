@@ -88,6 +88,35 @@ def test_flash_static_max_matches_exact(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_flash_fused_rowsum_matches_default(rng):
+    """I2V_FLASH_FUSED_ROWSUM folds the softmax denominator into the p@v
+    MXU dot (8-row ones block on v, l read from acc column d) — output and
+    logsumexp stats must match the explicit jnp.sum path on both the
+    static-offset and running-max softmaxes, across kv-block boundaries.
+    (Measured a dead tie on v5e — Mosaic already folds the lane reduction
+    into the exp2 pass — so the default stays off; BASELINE.md ledger.)"""
+    q = rng.standard_normal((4, 96, 2, 8)).astype(np.float32)
+    k = rng.standard_normal((2, 64, 2, 8)).astype(np.float32)
+    v = rng.standard_normal((2, 64, 2, 8)).astype(np.float32)
+    for static_max in (0.0, 64.0):
+        base, lse_base = flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_repeat=2,
+            block_q=32, block_kv=32, interpret=True,
+            static_max=static_max, with_stats=True, fused_rowsum=False,
+        )
+        fused, lse_fused = flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_repeat=2,
+            block_q=32, block_kv=32, interpret=True,
+            static_max=static_max, with_stats=True, fused_rowsum=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(base), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse_fused), np.asarray(lse_base), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_custom_vjp_backward_matches_autodiff(rng):
     q = rng.standard_normal((4, 8, 2, 8)).astype(np.float32)
     kv = rng.standard_normal((2, 8, 2, 8)).astype(np.float32)
