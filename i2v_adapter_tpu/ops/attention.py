@@ -780,17 +780,22 @@ def _attention_pallas(q, k, v, kv_repeat, scale, interpret, static_max=None):
 def _flash_bwd_mode(nk: int) -> str:
     """'pallas' / 'pallas_interpret' / '' (XLA chunked backward).
 
-    Pallas backward engages on TPU for the long-sequence sites whose XLA
-    backward would materialize (bkv, rep, nq, nk) fp32 score tensors per
-    head (512px training: 2.1 GB/head).  I2V_FLASH_BWD forces a mode
-    ('xla' / 'pallas' / 'pallas_interpret'); I2V_FLASH_BWD_MIN moves the
-    dispatch threshold."""
+    Pallas backward engages on TPU at nk >= 1024.  Originally gated at
+    2048 for the long-sequence sites whose XLA backward materializes
+    (bkv, rep, nq, nk) fp32 score tensors per head (512px training:
+    2.1 GB/head), but a config-4 train-step trace showed the XLA chunked
+    backward costing 132 ms/step at the 256px nk=1024 sites
+    (dynamic-update-slice fusions writing per-head grad chunks) — the
+    threshold sweep measured 0.378 / 0.283 / 0.291 / 0.290 s/step at
+    2048 / 1024 / 256 / 64, so 1024 is the floor of the win.
+    I2V_FLASH_BWD forces a mode ('xla' / 'pallas' / 'pallas_interpret');
+    I2V_FLASH_BWD_MIN moves the dispatch threshold."""
     import os
 
     forced = os.environ.get("I2V_FLASH_BWD", "")
     if forced:
         return "" if forced == "xla" else forced
-    if _on_tpu() and nk >= int(os.environ.get("I2V_FLASH_BWD_MIN", "2048")):
+    if _on_tpu() and nk >= int(os.environ.get("I2V_FLASH_BWD_MIN", "1024")):
         return "pallas"
     return ""
 
