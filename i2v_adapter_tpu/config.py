@@ -295,6 +295,14 @@ class PipelineConfig(_ConfigBase):
     # training never reads PipelineConfig, and parity suites construct
     # their configs directly.  Set False to restore exact bf16 convs.
     int8_conv: bool = True
+    # Opt-in "turbo" serving approximation ("Faster Diffusion" encoder
+    # propagation, arXiv:2312.09608): 2 = the denoise scan runs step PAIRS
+    # where the second step reuses the first's UNet down-path features
+    # (time tower / mid / up run fresh).  1 (default) = off — unlike
+    # int8_conv this changes CONTENT, not just rounding, so it never
+    # defaults on.  Requires dispatch='scan', no temporal tiling, no UNet
+    # chunking (validated at call time).
+    encoder_cache: int = 1
     # Temporal tiling for clips longer than the motion-module positional cap
     # (windowed denoising with overlap blending; see pipelines/tiling.py).
     temporal_window: int = 16

@@ -380,7 +380,16 @@ class VideoUNet(nn.Module):
         image_embeds: Optional[jnp.ndarray] = None,
         *,
         enable_cross_frame_attn: bool = False,
+        return_encoder: bool = False,
+        cached_encoder=None,
     ) -> jnp.ndarray:
+        """``return_encoder=True`` additionally returns the down-path
+        output ``(x, skips)``; ``cached_encoder=(x, skips)`` skips
+        conv_in + the down path and reuses those features (the time
+        tower, IP tokens, mid and up paths run fresh at the current
+        timestep) — the encoder-propagation approximation of
+        "Faster Diffusion" (arXiv:2312.09608), used by the pipeline's
+        opt-in ``encoder_cache`` serving mode."""
         cfg = self.config
         b, f, h, w, c = sample.shape
 
@@ -424,35 +433,44 @@ class VideoUNet(nn.Module):
             )
         ctx = jnp.repeat(encoder_hidden_states.astype(self.dtype), f, axis=0)
 
-        # 3. flatten frames into batch; conv_in.
-        x = sample.reshape(b * f, h, w, c).astype(self.dtype)
-        x = nn.Conv(
-            cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
-            name="conv_in",
-        )(x)
+        # 3. flatten frames into batch; conv_in (skipped entirely when the
+        # down path comes from ``cached_encoder``).
+        if cached_encoder is None:
+            x = sample.reshape(b * f, h, w, c).astype(self.dtype)
+            x = nn.Conv(
+                cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
+                name="conv_in",
+            )(x)
+        else:
+            x = None
 
         block_ctx = dict(
             enable_cross_frame_attn=enable_cross_frame_attn, num_frames=f
         )
 
         # 4. down path.
-        skips = [x]
         n_blocks = cfg.num_blocks
-        for i in range(n_blocks):
-            block_cls = DownBlock
-            if cfg.remat:
-                block_cls = nn.remat(DownBlock, prevent_cse=False)
-            x, block_skips = block_cls(
-                config=cfg,
-                out_channels=cfg.block_out_channels[i],
-                num_layers=cfg.layers_per_block,
-                has_attention=cfg.down_block_has_attention[i],
-                add_downsample=i < n_blocks - 1,
-                dtype=self.dtype,
-                name=f"down_blocks_{i}",
-                **block_ctx,
-            )(x, emb, ctx)
-            skips.extend(block_skips)
+        if cached_encoder is not None:
+            x, skips = cached_encoder
+            skips = list(skips)
+        else:
+            skips = [x]
+            for i in range(n_blocks):
+                block_cls = DownBlock
+                if cfg.remat:
+                    block_cls = nn.remat(DownBlock, prevent_cse=False)
+                x, block_skips = block_cls(
+                    config=cfg,
+                    out_channels=cfg.block_out_channels[i],
+                    num_layers=cfg.layers_per_block,
+                    has_attention=cfg.down_block_has_attention[i],
+                    add_downsample=i < n_blocks - 1,
+                    dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                    **block_ctx,
+                )(x, emb, ctx)
+                skips.extend(block_skips)
+        encoder_features = (x, tuple(skips))
 
         # 5. mid.
         mid_cls = nn.remat(MidBlock, prevent_cse=False) if cfg.remat else MidBlock
@@ -490,4 +508,7 @@ class VideoUNet(nn.Module):
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(x)
-        return x.reshape(b, f, h, w, cfg.out_channels)
+        out = x.reshape(b, f, h, w, cfg.out_channels)
+        if return_encoder:
+            return out, encoder_features
+        return out

@@ -59,6 +59,13 @@ def parse_args(argv=None):
         "relative quantization error, full-pipeline PSNR > 35 dB vs exact; "
         "--no-int8_conv restores exact bf16 convs)",
     )
+    p.add_argument(
+        "--encoder_cache", type=int, default=1, choices=(1, 2),
+        help="2 = opt-in turbo: every second denoise step reuses the "
+        "previous step's UNet down-path features (Faster Diffusion "
+        "encoder propagation, arXiv:2312.09608) — a content-level "
+        "approximation, off by default",
+    )
     return p.parse_args(argv)
 
 
@@ -125,6 +132,7 @@ def main(argv=None):
             negative_prompt=args.negative_prompt,
             seed=args.seed + i,
             dispatch=args.dispatch,
+            encoder_cache=args.encoder_cache,
         )
         out = pipe.export_gifs(
             video, os.path.join(args.output_dir, f"{args.task_name}_{i}"),

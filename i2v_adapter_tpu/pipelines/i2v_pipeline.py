@@ -301,6 +301,7 @@ class I2VAdapterPipeline:
         decode_slice: int,
         vae_tiling: bool = False,
         unet_chunk: int = 1,
+        encoder_cache: int = 1,
     ):
         """Cached, jitted clip-generation function for one shape bucket
         (the 'bucketed jit shapes' serving strategy).  The cache is an
@@ -310,7 +311,7 @@ class I2VAdapterPipeline:
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
-            unet_chunk, getattr(self, "mesh", None),
+            unet_chunk, encoder_cache, getattr(self, "mesh", None),
         )
         # setdefault-style lazy init so partially-constructed pipelines
         # (e.g. bench.py's __new__ path) work too
@@ -573,6 +574,75 @@ class I2VAdapterPipeline:
             )
             return (shard_frames(latents), step_key)
 
+        # ---- encoder-cache step pair (opt-in `encoder_cache=2` serving
+        # mode; "Faster Diffusion" encoder propagation, arXiv:2312.09608).
+        # step_full_fn runs a normal denoise step but also returns the
+        # UNet's down-path features; step_cached_fn reuses them at the
+        # NEXT timestep (time tower / mid / up run fresh) — an
+        # approximation, quality-gated by the caller, never on by default.
+        # Deliberately separate closures from step_fn: the exact path
+        # stays byte-identical, and chunking/tiling (which would need
+        # per-window caches) are excluded by __call__'s validation. ----
+        def _pre_step(consts, carry):
+            cond_latents = consts[0]
+            latents, step_key = carry
+            if has_condition:
+                latents = latents.at[:, 0].set(
+                    cond_latents.astype(latents.dtype)
+                )
+            model_in = (
+                jnp.concatenate([latents] * 2, axis=0) if use_cfg else latents
+            )
+            return latents, step_key, shard_evals(model_in)
+
+        def _post_step(noise_pred, latents, step_key, t, tp):
+            if use_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            if eta > 0.0:
+                step_key, nkey = jax.random.split(step_key)
+                step_noise = jax.random.normal(
+                    nkey, latents.shape, dtype=jnp.float32
+                )
+            else:
+                step_noise = None
+            latents = ddim_step(
+                schedule, noise_pred, jnp.full((batch,), t),
+                jnp.full((batch,), tp), latents, eta=eta, noise=step_noise,
+            )
+            return (shard_frames(latents), step_key)
+
+        def step_full_fn(params, consts, carry, t, tp):
+            _, text_states, image_embeds = consts
+            latents, step_key, model_in = _pre_step(consts, carry)
+            noise_pred, enc_cache = self.unet.apply(
+                params["unet"],
+                model_in.astype(self.dtype),
+                jnp.full((model_in.shape[0],), t),
+                text_states,
+                image_embeds,
+                enable_cross_frame_attn=has_condition,
+                return_encoder=True,
+            )
+            carry = _post_step(
+                noise_pred.astype(jnp.float32), latents, step_key, t, tp
+            )
+            return carry, enc_cache
+
+        def step_cached_fn(params, consts, carry, t, tp, enc_cache):
+            _, text_states, image_embeds = consts
+            latents, step_key, model_in = _pre_step(consts, carry)
+            noise_pred = self.unet.apply(
+                params["unet"],
+                model_in.astype(self.dtype),
+                jnp.full((model_in.shape[0],), t),
+                text_states,
+                image_embeds,
+                enable_cross_frame_attn=has_condition,
+                cached_encoder=enc_cache,
+            ).astype(jnp.float32)
+            return _post_step(noise_pred, latents, step_key, t, tp)
+
         def decode_fn(params, consts, latents):
             cond_latents = consts[0]
             if has_condition:
@@ -608,7 +678,9 @@ class I2VAdapterPipeline:
             )
             return video.astype(jnp.float32)
 
-        return prep_fn, step_fn, decode_fn, ts, prev
+        return prep_fn, step_fn, decode_fn, ts, prev, (
+            step_full_fn, step_cached_fn,
+        )
 
     def _build_sampler(
         self,
@@ -624,10 +696,16 @@ class I2VAdapterPipeline:
         decode_slice: int,
         vae_tiling: bool = False,
         unet_chunk: int = 1,
+        encoder_cache: int = 1,
     ):
         """Fused sampler: prep + denoise scan + decode as ONE jit — no host
-        round-trips inside a clip generation (the fast path)."""
-        prep_fn, step_fn, decode_fn, ts, prev = self._build_parts(
+        round-trips inside a clip generation (the fast path).
+
+        ``encoder_cache=2`` scans over step PAIRS: a full eval that saves
+        the UNet down-path features, then a second step reusing them
+        (Faster Diffusion encoder propagation) — odd trailing step runs
+        full."""
+        prep_fn, step_fn, decode_fn, ts, prev, pair_fns = self._build_parts(
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
             unet_chunk,
@@ -637,12 +715,37 @@ class I2VAdapterPipeline:
         def sample_fn(params, text_ids, cond_image, clip_image, rng):
             carry, consts = prep_fn(params, text_ids, cond_image, clip_image, rng)
 
-            def body(c, t_pair):
-                return step_fn(params, consts, c, t_pair[0], t_pair[1]), None
+            if encoder_cache > 1:
+                step_full_fn, step_cached_fn = pair_fns
+                n = len(ts)
+                n2 = n - (n % 2)
+                ts2 = jnp.asarray(ts[:n2]).reshape(-1, 2)
+                prev2 = jnp.asarray(prev[:n2]).reshape(-1, 2)
 
-            (latents, _), _ = jax.lax.scan(
-                body, carry, (jnp.asarray(ts), jnp.asarray(prev))
-            )
+                def body(c, tq):
+                    t01, tp01 = tq
+                    c, enc_cache = step_full_fn(
+                        params, consts, c, t01[0], tp01[0]
+                    )
+                    c = step_cached_fn(
+                        params, consts, c, t01[1], tp01[1], enc_cache
+                    )
+                    return c, None
+
+                carry, _ = jax.lax.scan(body, carry, (ts2, prev2))
+                if n % 2:
+                    carry = step_fn(
+                        params, consts, carry,
+                        jnp.asarray(ts[-1]), jnp.asarray(prev[-1]),
+                    )
+                latents, _ = carry
+            else:
+                def body(c, t_pair):
+                    return step_fn(params, consts, c, t_pair[0], t_pair[1]), None
+
+                (latents, _), _ = jax.lax.scan(
+                    body, carry, (jnp.asarray(ts), jnp.asarray(prev))
+                )
             return decode_fn(params, consts, latents)
 
         if mesh is not None:
@@ -701,7 +804,7 @@ class I2VAdapterPipeline:
         cache = self.__dict__.setdefault("_sampler_cache", {})
         if key in cache:
             return cache[key]
-        prep_fn, step_fn, decode_fn, ts, prev = self._build_parts(*key[:-3])
+        prep_fn, step_fn, decode_fn, ts, prev, _ = self._build_parts(*key[:-3])
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -771,6 +874,7 @@ class I2VAdapterPipeline:
         unet_chunk: int = 0,
         memory_unsafe: bool = False,
         dispatch: str = "auto",
+        encoder_cache: Optional[int] = None,
     ):
         """Generate clips. Returns (B, F, H, W, 3) uint8 (output_type='np')
         or float32 in [-1, 1] ('latent' returns raw latents).
@@ -782,7 +886,12 @@ class I2VAdapterPipeline:
         'stepwise' = one device dispatch per denoise step (for workloads
         whose fused dispatch would run for minutes), 'auto' = stepwise
         once the estimated per-clip UNet work exceeds
-        ``SCAN_DISPATCH_MAX_WORK`` eval-tokens."""
+        ``SCAN_DISPATCH_MAX_WORK`` eval-tokens.
+
+        ``encoder_cache=2``: opt-in turbo approximation — every second
+        denoise step reuses the previous step's UNet down-path features
+        (see ``PipelineConfig.encoder_cache``; content-level deviation,
+        never on by default)."""
         pcfg = self.pipe_config
         num_frames = num_frames or pcfg.num_frames
         height = height or pcfg.height
@@ -873,6 +982,31 @@ class I2VAdapterPipeline:
 
         if dispatch not in ("auto", "scan", "stepwise"):
             raise ValueError(f"dispatch must be auto/scan/stepwise, got {dispatch!r}")
+        enc_cache = (
+            encoder_cache
+            if encoder_cache is not None
+            else self.pipe_config.encoder_cache
+        )
+        if enc_cache not in (1, 2):
+            raise ValueError(f"encoder_cache must be 1 (off) or 2, got {enc_cache}")
+        if enc_cache > 1:
+            # content-level approximation (see PipelineConfig.encoder_cache);
+            # v1 composes only with the plain fused scan
+            if window is not None:
+                raise ValueError(
+                    "encoder_cache does not compose with temporal tiling "
+                    f"(num_frames {num_frames} > motion cap {motion_cap})"
+                )
+            if unet_chunk > 1:
+                raise ValueError(
+                    "encoder_cache does not compose with unet_chunk > 1"
+                )
+            if dispatch == "stepwise" or output_type == "latent":
+                raise ValueError(
+                    "encoder_cache requires the fused scan sampler "
+                    "(dispatch='scan')"
+                )
+            dispatch = "scan"
         if dispatch == "auto":
             # estimated per-clip UNet work in frame-evals x latent-tokens;
             # tiling re-evaluates overlap frames (+1 anchor per interior
@@ -913,14 +1047,18 @@ class I2VAdapterPipeline:
                     "flash_static_max note in the decoded-video guard)."
                 )
             return latents
-        sampler = (
-            self._stepwise_sampler if dispatch == "stepwise" else self._sampler
-        )
-        fn = sampler(
-            batch, num_frames, height, width, steps, float(strength),
-            float(guidance), use_cfg, has_condition, decode_slice,
-            vae_tiling, unet_chunk,
-        )
+        if dispatch == "stepwise":
+            fn = self._stepwise_sampler(
+                batch, num_frames, height, width, steps, float(strength),
+                float(guidance), use_cfg, has_condition, decode_slice,
+                vae_tiling, unet_chunk,
+            )
+        else:
+            fn = self._sampler(
+                batch, num_frames, height, width, steps, float(strength),
+                float(guidance), use_cfg, has_condition, decode_slice,
+                vae_tiling, unet_chunk, enc_cache,
+            )
         video = fn(
             self.params,
             jnp.asarray(text_ids),

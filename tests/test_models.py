@@ -259,6 +259,44 @@ def test_int8_conv_param_tree_and_psnr(rng):
     assert db > 35.0, db
 
 
+def test_unet_encoder_cache_split_is_exact(rng):
+    """``return_encoder`` / ``cached_encoder`` split the forward at the
+    down path: re-running with the cache AT THE SAME TIMESTEP must be
+    bit-identical to the full forward (the encoder_cache serving mode's
+    approximation comes only from timestep staleness, never from the
+    split itself)."""
+    mc = CFG
+    unet = VideoUNet(mc.unet)
+    x = jnp.asarray(rng.standard_normal((2, 2, 8, 8, 4)).astype(np.float32))
+    txt = jnp.asarray(
+        rng.standard_normal((2, 16, mc.unet.cross_attention_dim)).astype(
+            np.float32
+        )
+    )
+    ie = jnp.asarray(
+        rng.standard_normal((2, mc.unet.image_embed_dim)).astype(np.float32)
+    )
+    p = unet.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((2,)), txt, ie,
+        enable_cross_frame_attn=True,
+    )
+    kw = dict(enable_cross_frame_attn=True)
+    full = unet.apply(p, x, jnp.full((2,), 5.0), txt, ie, **kw)
+    full2, cache = unet.apply(
+        p, x, jnp.full((2,), 5.0), txt, ie, return_encoder=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(full2))
+    cached = unet.apply(
+        p, x, jnp.full((2,), 5.0), txt, ie, cached_encoder=cache, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+    # at a different timestep the decoder runs fresh: output must differ
+    other = unet.apply(
+        p, x, jnp.full((2,), 9.0), txt, ie, cached_encoder=cache, **kw
+    )
+    assert float(jnp.abs(other - full).max()) > 0
+
+
 def test_int8_vae_decode_param_tree_and_psnr(rng):
     """``VAEConfig.int8_decode=True`` (serving default via
     PipelineConfig.int8_conv) quantizes DECODER convs only: identical param

@@ -232,6 +232,42 @@ def test_stepwise_dispatch_matches_scan(tiny_pipeline):
         tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
 
 
+def test_encoder_cache_turbo_mode(tiny_pipeline):
+    """``encoder_cache=2`` (opt-in Faster-Diffusion encoder propagation):
+    runs the paired-step scan, handles odd step counts with a trailing
+    full step, produces finite output that deviates from the exact path
+    (it is an approximation), and refuses incompatible knobs."""
+    img = (np.random.default_rng(9).random((32, 32, 3)) * 255).astype(np.uint8)
+    v_exact = tiny_pipeline("a cat", condition_image=img, seed=5,
+                            output_type="float", num_inference_steps=4)
+    v_turbo = tiny_pipeline("a cat", condition_image=img, seed=5,
+                            output_type="float", num_inference_steps=4,
+                            encoder_cache=2)
+    assert v_turbo.shape == v_exact.shape
+    assert np.isfinite(v_turbo).all()
+    assert np.abs(v_turbo - v_exact).max() > 0  # genuinely approximate
+
+    # deterministic for a fixed seed
+    v_turbo2 = tiny_pipeline("a cat", condition_image=img, seed=5,
+                             output_type="float", num_inference_steps=4,
+                             encoder_cache=2)
+    np.testing.assert_array_equal(v_turbo, v_turbo2)
+
+    # odd step count: 3 = one cached pair + one trailing full step
+    v3 = tiny_pipeline("a cat", condition_image=img, seed=5,
+                       output_type="float", num_inference_steps=3,
+                       encoder_cache=2)
+    assert np.isfinite(v3).all()
+
+    with pytest.raises(ValueError):
+        tiny_pipeline("a", condition_image=img, encoder_cache=2, unet_chunk=2)
+    with pytest.raises(ValueError):
+        tiny_pipeline("a", condition_image=img, encoder_cache=2,
+                      dispatch="stepwise")
+    with pytest.raises(ValueError):
+        tiny_pipeline("a", condition_image=img, encoder_cache=3)
+
+
 def test_output_type_latent_matches_decoded(tiny_pipeline):
     """output_type='latent' (reference pipeline_i2v_adapter.py:699-703)
     returns final clamped latents without decoding; feeding them through the

@@ -289,7 +289,7 @@ def test_sd15_pipeline_loop_psnr(rng, sd15_sds, converted):
         (2 * b, SD15.image_embed_dim)
     ).astype(np.float32)
 
-    prep_fn, step_fn, decode_fn, ts, prev = pipe._build_parts(
+    prep_fn, step_fn, decode_fn, ts, prev, _ = pipe._build_parts(
         b, f, height, width, steps, 1.0, guidance, True, True, 0, False, 1
     )
     consts = (
