@@ -300,8 +300,9 @@ class PipelineConfig(_ConfigBase):
     # where the second step reuses the first's UNet down-path features
     # (time tower / mid / up run fresh).  1 (default) = off — unlike
     # int8_conv this changes CONTENT, not just rounding, so it never
-    # defaults on.  Requires dispatch='scan', no temporal tiling, no UNet
-    # chunking (validated at call time).
+    # defaults on.  Works with both dispatch modes (fused scan and the
+    # host-driven stepwise loop — bit-identical); no temporal tiling, no
+    # UNet chunking (validated at call time).
     encoder_cache: int = 1
     # Temporal tiling for clips longer than the motion-module positional cap
     # (windowed denoising with overlap blending; see pipelines/tiling.py).

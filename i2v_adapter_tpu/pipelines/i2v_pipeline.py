@@ -781,6 +781,7 @@ class I2VAdapterPipeline:
         vae_tiling: bool = False,
         unet_chunk: int = 1,
         decode: bool = True,
+        encoder_cache: int = 1,
     ):
         """Step-wise sampler: prep / one-denoise-step / decode as THREE
         jits driven by a host loop, so no single device dispatch runs for
@@ -795,16 +796,25 @@ class I2VAdapterPipeline:
         ``decode=False`` returns final latents (first-frame clamped, still
         x ``vae.scaling_factor``) instead of decoded video — the
         ``output_type='latent'`` path (reference
-        pipeline_i2v_adapter.py:699-703)."""
+        pipeline_i2v_adapter.py:699-703).
+
+        ``encoder_cache=2`` drives the same full/cached step pair as the
+        fused turbo scan from the host loop (bit-identical to fused turbo
+        — same part functions in the same order), so the approximation is
+        usable on stepwise-scale workloads where a single denoise step
+        costs seconds and halving the down-path matters most."""
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
             unet_chunk, getattr(self, "mesh", None), "stepwise", decode,
+            encoder_cache,
         )
         cache = self.__dict__.setdefault("_sampler_cache", {})
         if key in cache:
             return cache[key]
-        prep_fn, step_fn, decode_fn, ts, prev, _ = self._build_parts(*key[:-3])
+        prep_fn, step_fn, decode_fn, ts, prev, pair_fns = self._build_parts(
+            *key[:12]
+        )
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -824,21 +834,50 @@ class I2VAdapterPipeline:
             decode_jit = jax.jit(
                 _wrap(decode_fn), out_shardings=NamedSharding(mesh, P())
             )
+            if encoder_cache > 1:
+                step_full_jit = jax.jit(_wrap(pair_fns[0]))
+                step_cached_jit = jax.jit(_wrap(pair_fns[1]))
         else:
             prep_jit = jax.jit(prep_fn)
             step_jit = jax.jit(step_fn)
             decode_jit = jax.jit(decode_fn)
+            if encoder_cache > 1:
+                step_full_jit = jax.jit(pair_fns[0])
+                step_cached_jit = jax.jit(pair_fns[1])
         ts_np, prev_np = np.asarray(ts), np.asarray(prev)
 
         def run(params, text_ids, cond_image, clip_image, rng):
             carry, consts = prep_jit(params, text_ids, cond_image, clip_image, rng)
-            for i in range(len(ts_np)):
-                carry = step_jit(
-                    params, consts, carry,
-                    jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
-                )
-                # bound every device dispatch to one denoise step
-                jax.block_until_ready(carry)
+            if encoder_cache > 1:
+                # full/cached step pairs; an odd trailing step runs full
+                # (exact) — mirrors the fused turbo scan's schedule split.
+                n2 = len(ts_np) - (len(ts_np) % 2)
+                for i in range(0, n2, 2):
+                    carry, enc = step_full_jit(
+                        params, consts, carry,
+                        jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
+                    )
+                    jax.block_until_ready(carry)
+                    carry = step_cached_jit(
+                        params, consts, carry,
+                        jnp.asarray(ts_np[i + 1]), jnp.asarray(prev_np[i + 1]),
+                        enc,
+                    )
+                    jax.block_until_ready(carry)
+                for i in range(n2, len(ts_np)):
+                    carry = step_jit(
+                        params, consts, carry,
+                        jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
+                    )
+                    jax.block_until_ready(carry)
+            else:
+                for i in range(len(ts_np)):
+                    carry = step_jit(
+                        params, consts, carry,
+                        jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
+                    )
+                    # bound every device dispatch to one denoise step
+                    jax.block_until_ready(carry)
             if not decode:
                 latents, cond_latents = carry[0], consts[0]
                 if has_condition:
@@ -991,7 +1030,8 @@ class I2VAdapterPipeline:
             raise ValueError(f"encoder_cache must be 1 (off) or 2, got {enc_cache}")
         if enc_cache > 1:
             # content-level approximation (see PipelineConfig.encoder_cache);
-            # v1 composes only with the plain fused scan
+            # composes with both dispatch modes but not with temporal tiling
+            # or UNet chunking (those would need per-window/per-chunk caches)
             if window is not None:
                 raise ValueError(
                     "encoder_cache does not compose with temporal tiling "
@@ -1001,12 +1041,6 @@ class I2VAdapterPipeline:
                 raise ValueError(
                     "encoder_cache does not compose with unet_chunk > 1"
                 )
-            if dispatch == "stepwise" or output_type == "latent":
-                raise ValueError(
-                    "encoder_cache requires the fused scan sampler "
-                    "(dispatch='scan')"
-                )
-            dispatch = "scan"
         if dispatch == "auto":
             # estimated per-clip UNet work in frame-evals x latent-tokens;
             # tiling re-evaluates overlap frames (+1 anchor per interior
@@ -1032,7 +1066,7 @@ class I2VAdapterPipeline:
             fn = self._stepwise_sampler(
                 batch, num_frames, height, width, steps, float(strength),
                 float(guidance), use_cfg, has_condition, decode_slice,
-                vae_tiling, unet_chunk, decode=False,
+                vae_tiling, unet_chunk, decode=False, encoder_cache=enc_cache,
             )
             latents = np.asarray(fn(
                 self.params,
@@ -1051,7 +1085,7 @@ class I2VAdapterPipeline:
             fn = self._stepwise_sampler(
                 batch, num_frames, height, width, steps, float(strength),
                 float(guidance), use_cfg, has_condition, decode_slice,
-                vae_tiling, unet_chunk,
+                vae_tiling, unet_chunk, encoder_cache=enc_cache,
             )
         else:
             fn = self._sampler(

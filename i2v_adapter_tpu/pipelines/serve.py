@@ -24,7 +24,8 @@ preemptible between denoise steps.
 Request JSON fields (all but ``prompt`` + ``image`` optional):
   prompt, image (path), negative_prompt, num_frames, height, width,
   num_inference_steps, guidance_scale, frame_similarity_sample_ratio,
-  seed, fps, format ('gif' | 'mp4' | 'npy'), dispatch.
+  seed, fps, format ('gif' | 'mp4' | 'npy'), dispatch, encoder_cache
+  (2 = opt-in turbo approximation, see PipelineConfig.encoder_cache).
 
 Run: ``python -m i2v_adapter_tpu.pipelines.serve --pretrained_model_path
 ... --requests_dir requests/ --output_dir output/``.
@@ -45,7 +46,7 @@ logger = logging.getLogger(__name__)
 _REQUEST_KEYS = (
     "negative_prompt", "num_frames", "height", "width",
     "num_inference_steps", "guidance_scale",
-    "frame_similarity_sample_ratio", "dispatch",
+    "frame_similarity_sample_ratio", "dispatch", "encoder_cache",
 )
 
 

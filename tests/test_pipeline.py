@@ -259,11 +259,20 @@ def test_encoder_cache_turbo_mode(tiny_pipeline):
                        encoder_cache=2)
     assert np.isfinite(v3).all()
 
+    # stepwise dispatch drives the same full/cached pair from the host
+    # loop — bit-identical to the fused turbo scan (this is how turbo
+    # reaches config-5-class workloads whose fused dispatch is refused)
+    v_sw = tiny_pipeline("a cat", condition_image=img, seed=5,
+                         output_type="float", num_inference_steps=4,
+                         encoder_cache=2, dispatch="stepwise")
+    np.testing.assert_allclose(v_sw, v_turbo, atol=2e-5)
+    v3_sw = tiny_pipeline("a cat", condition_image=img, seed=5,
+                          output_type="float", num_inference_steps=3,
+                          encoder_cache=2, dispatch="stepwise")
+    np.testing.assert_allclose(v3_sw, v3, atol=2e-5)
+
     with pytest.raises(ValueError):
         tiny_pipeline("a", condition_image=img, encoder_cache=2, unet_chunk=2)
-    with pytest.raises(ValueError):
-        tiny_pipeline("a", condition_image=img, encoder_cache=2,
-                      dispatch="stepwise")
     with pytest.raises(ValueError):
         tiny_pipeline("a", condition_image=img, encoder_cache=3)
 
