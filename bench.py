@@ -335,8 +335,8 @@ def _bench_loader():
     """Input-pipeline throughput probe (VERDICT r1 #6): synthesize WebVid-style
     mp4s (long videos so stride sampling lands deep inside), then measure
     batches/s through WebVidDataset + DataLoader.  Sustaining >= 1 batch per
-    train-step time (0.414 s at 256px b8 f16 on one chip) means the host
-    pipeline doesn't starve the TPU."""
+    train-step time (0.283 s/step at 256px b2 f16 on one chip -> 1.13 s per
+    b8 batch) means the host pipeline doesn't starve the TPU."""
     import csv
     import tempfile
 
@@ -384,8 +384,8 @@ def _bench_loader():
     print(
         f"[bench] loader: {dt:.3f} s/batch over {n} batches (batch "
         f"{batch_size}, 256px 16f stride4, seek-decode, 8 workers on "
-        f"{cores} visible core(s)) = {1 / dt:.2f} batches/s; the 0.414 "
-        f"s/step b2 train budget scaled to b8 is 1.656 s/batch; per-sample "
+        f"{cores} visible core(s)) = {1 / dt:.2f} batches/s; the 0.283 "
+        f"s/step b2 train budget scaled to b8 is 1.132 s/batch; per-sample "
         f"cost {dt * cores / batch_size:.2f} core-s scales with host cores "
         f"(v5e hosts have 100+)",
         file=sys.stderr,

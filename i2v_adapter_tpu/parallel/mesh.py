@@ -120,11 +120,29 @@ def train_state_shardings(state, mesh: Mesh, min_size: int = 2**16):
     everything else replicated).  This is the ZeRO analogue actually applied
     to the whole training state, not just scaffolding (VERDICT r1 #4):
     ``jax.device_put(state, train_state_shardings(state, mesh))`` materializes
-    the shards; passing the same tree as jit in/out shardings keeps them."""
+    the shards; passing the same tree as jit in/out shardings keeps them.
+
+    When the mesh carries a ``tensor`` axis > 1, attention projections
+    (to_q/to_k/to_v/to_out and the IP variants) instead follow the
+    Megatron-style tensor-parallel rules shared with inference
+    (``parallel.spmd._tp_spec``): column-sharded q/k/v, row-sharded to_out,
+    with GSPMD inserting the psums in the training graph.  Optimizer-state
+    leaves mirror their parameters' specs because optax moments share the
+    param tree structure and leaf paths."""
     fsdp_size = mesh.shape[FSDP_AXIS]
+    tensor_size = int(mesh.shape.get(TENSOR_AXIS, 1))
+    if tensor_size > 1:
+        from i2v_adapter_tpu.parallel.spmd import _tp_spec
 
-    def leaf(p):
-        shape = getattr(p, "shape", ())
-        return NamedSharding(mesh, fsdp_spec(tuple(shape), fsdp_size, min_size))
+    def leaf(path, p):
+        shape = tuple(getattr(p, "shape", ()))
+        if tensor_size > 1:
+            keys = tuple(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            spec = _tp_spec(keys, shape, tensor_size, heads=0)
+            if spec != P():
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, fsdp_spec(shape, fsdp_size, min_size))
 
-    return jax.tree.map(leaf, state)
+    return jax.tree_util.tree_map_with_path(leaf, state)

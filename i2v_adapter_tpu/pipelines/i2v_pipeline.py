@@ -317,9 +317,17 @@ class I2VAdapterPipeline:
         # (e.g. bench.py's __new__ path) work too
         cache = self.__dict__.setdefault("_sampler_cache", {})
         if key not in cache:
-            # trailing key element is the mesh (cache identity only;
-            # _build_sampler reads self.mesh)
-            cache[key] = self._build_sampler(*key[:-1])
+            # the mesh appears only in the cache key (identity — the build
+            # reads self.mesh); keyword call so key/signature reorders can't
+            # silently misbind (ADVICE r3)
+            cache[key] = self._build_sampler(
+                batch=batch, num_frames=num_frames, height=height,
+                width=width, num_inference_steps=num_inference_steps,
+                strength=strength, guidance_scale=guidance_scale,
+                use_cfg=use_cfg, has_condition=has_condition,
+                decode_slice=decode_slice, vae_tiling=vae_tiling,
+                unet_chunk=unet_chunk, encoder_cache=encoder_cache,
+            )
         return cache[key]
 
     def _build_parts(
@@ -410,9 +418,16 @@ class I2VAdapterPipeline:
         use_tiling = num_frames > cfg.unet.motion_max_seq_length
         eta = pcfg.eta
 
-        def prep_fn(params, text_ids, cond_image, clip_image, rng):
+        def prep_fn(params, text_ids, cond_image, clip_image, rng,
+                    init_latents=None):
             # text_ids: (2B or B, L); cond_image: (B, H, W, 3) in [-1, 1];
             # clip_image: (B, 224, 224, 3) CLIP-normalized.
+            # ``init_latents``: caller-supplied initial latents (reference
+            # prepare_latents(latents=...), pipeline_i2v_adapter.py:290-296;
+            # DDIM init_noise_sigma is 1.0 so no extra scaling).  With a
+            # condition image the similarity prior overwrites them — exactly
+            # the reference's behavior (:647-656) — so __call__ only routes
+            # them here on the no-condition path.
             (rng_noise, rng_prior, rng_mask, rng_vae, rng_sigma,
              rng_eta) = jax.random.split(rng, 6)
 
@@ -475,11 +490,14 @@ class I2VAdapterPipeline:
                 )
             else:
                 cond_latents = None
-                latents = jax.random.normal(
-                    rng_noise,
-                    (batch, f, lh, lw, cfg.unet.in_channels),
-                    dtype=jnp.float32,
-                )
+                if init_latents is not None:
+                    latents = init_latents.astype(jnp.float32)
+                else:
+                    latents = jax.random.normal(
+                        rng_noise,
+                        (batch, f, lh, lw, cfg.unet.in_channels),
+                        dtype=jnp.float32,
+                    )
             latents = shard_frames(latents)
             return (latents, rng_eta), (cond_latents, text_states, image_embeds)
 
@@ -712,8 +730,11 @@ class I2VAdapterPipeline:
         )
         mesh = getattr(self, "mesh", None)
 
-        def sample_fn(params, text_ids, cond_image, clip_image, rng):
-            carry, consts = prep_fn(params, text_ids, cond_image, clip_image, rng)
+        def sample_fn(params, text_ids, cond_image, clip_image, rng,
+                      init_latents=None):
+            carry, consts = prep_fn(
+                params, text_ids, cond_image, clip_image, rng, init_latents
+            )
 
             if encoder_cache > 1:
                 step_full_fn, step_cached_fn = pair_fns
@@ -755,11 +776,11 @@ class I2VAdapterPipeline:
 
             inner_fn = sample_fn
 
-            def sample_fn(*args):
+            def sample_fn(*args, **kwargs):
                 # trace-time context: Pallas attention sites dispatch to
                 # shard_map-wrapped shard-local kernels (parallel/spmd.py)
                 with attention_spmd(mesh):
-                    return inner_fn(*args)
+                    return inner_fn(*args, **kwargs)
 
             return jax.jit(
                 sample_fn, out_shardings=NamedSharding(mesh, P())
@@ -799,10 +820,12 @@ class I2VAdapterPipeline:
         pipeline_i2v_adapter.py:699-703).
 
         ``encoder_cache=2`` drives the same full/cached step pair as the
-        fused turbo scan from the host loop (bit-identical to fused turbo
-        — same part functions in the same order), so the approximation is
-        usable on stepwise-scale workloads where a single denoise step
-        costs seconds and halving the down-path matters most."""
+        fused turbo scan from the host loop (same part functions in the
+        same order; equivalence-tested to 2e-5 — separately-jitted parts
+        may compile differently from the scan body), so the approximation
+        is usable on sub-motion-cap stepwise workloads where a single
+        denoise step costs seconds and halving the down-path matters
+        most (tiled clips — actual config 5 — still refuse it)."""
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
@@ -813,7 +836,11 @@ class I2VAdapterPipeline:
         if key in cache:
             return cache[key]
         prep_fn, step_fn, decode_fn, ts, prev, pair_fns = self._build_parts(
-            *key[:12]
+            batch=batch, num_frames=num_frames, height=height, width=width,
+            num_inference_steps=num_inference_steps, strength=strength,
+            guidance_scale=guidance_scale, use_cfg=use_cfg,
+            has_condition=has_condition, decode_slice=decode_slice,
+            vae_tiling=vae_tiling, unet_chunk=unet_chunk,
         )
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
@@ -823,9 +850,9 @@ class I2VAdapterPipeline:
 
             def _wrap(f):
                 @functools.wraps(f)
-                def g(*a):
+                def g(*a, **kw):
                     with attention_spmd(mesh):
-                        return f(*a)
+                        return f(*a, **kw)
 
                 return g
 
@@ -846,8 +873,20 @@ class I2VAdapterPipeline:
                 step_cached_jit = jax.jit(pair_fns[1])
         ts_np, prev_np = np.asarray(ts), np.asarray(prev)
 
-        def run(params, text_ids, cond_image, clip_image, rng):
-            carry, consts = prep_jit(params, text_ids, cond_image, clip_image, rng)
+        def run(params, text_ids, cond_image, clip_image, rng,
+                init_latents=None, callback=None, callback_steps=1):
+            carry, consts = prep_jit(
+                params, text_ids, cond_image, clip_image, rng, init_latents
+            )
+
+            def after_step(i):
+                # per-step callback (reference pipeline_i2v_adapter.py:694-697:
+                # fires when i % callback_steps == 0; order-1 DDIM so the
+                # progress-bar gate is always true).  Receives the device
+                # latents array — np.asarray() it to force a host readback.
+                if callback is not None and i % callback_steps == 0:
+                    callback(i, int(ts_np[i]), carry[0])
+
             if encoder_cache > 1:
                 # full/cached step pairs; an odd trailing step runs full
                 # (exact) — mirrors the fused turbo scan's schedule split.
@@ -858,18 +897,21 @@ class I2VAdapterPipeline:
                         jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
                     )
                     jax.block_until_ready(carry)
+                    after_step(i)
                     carry = step_cached_jit(
                         params, consts, carry,
                         jnp.asarray(ts_np[i + 1]), jnp.asarray(prev_np[i + 1]),
                         enc,
                     )
                     jax.block_until_ready(carry)
+                    after_step(i + 1)
                 for i in range(n2, len(ts_np)):
                     carry = step_jit(
                         params, consts, carry,
                         jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
                     )
                     jax.block_until_ready(carry)
+                    after_step(i)
             else:
                 for i in range(len(ts_np)):
                     carry = step_jit(
@@ -878,6 +920,7 @@ class I2VAdapterPipeline:
                     )
                     # bound every device dispatch to one denoise step
                     jax.block_until_ready(carry)
+                    after_step(i)
             if not decode:
                 latents, cond_latents = carry[0], consts[0]
                 if has_condition:
@@ -906,6 +949,8 @@ class I2VAdapterPipeline:
         num_inference_steps: Optional[int] = None,
         guidance_scale: Optional[float] = None,
         frame_similarity_sample_ratio: Optional[float] = None,
+        num_videos_per_prompt: int = 1,
+        latents=None,
         seed: int = 0,
         output_type: str = "np",
         decode_slice: int = 0,
@@ -914,6 +959,8 @@ class I2VAdapterPipeline:
         memory_unsafe: bool = False,
         dispatch: str = "auto",
         encoder_cache: Optional[int] = None,
+        callback=None,
+        callback_steps: int = 1,
     ):
         """Generate clips. Returns (B, F, H, W, 3) uint8 (output_type='np')
         or float32 in [-1, 1] ('latent' returns raw latents).
@@ -930,7 +977,21 @@ class I2VAdapterPipeline:
         ``encoder_cache=2``: opt-in turbo approximation — every second
         denoise step reuses the previous step's UNet down-path features
         (see ``PipelineConfig.encoder_cache``; content-level deviation,
-        never on by default)."""
+        never on by default).
+
+        ``num_videos_per_prompt``: each prompt (and its condition / IP
+        images) is repeated N times with the same interleaved order as the
+        reference's encode_prompt (pipeline_i2v_adapter.py:545).
+
+        ``latents``: caller-supplied initial latents, shape
+        (B*num_videos_per_prompt, F, H/8, W/8, 4) — reference
+        prepare_latents(latents=...) (:633-645).  As in the reference, a
+        condition image's similarity prior REPLACES them (:647-656), so
+        they only shape the output on the no-condition path.
+
+        ``callback(i, t, latents)`` fires after every ``callback_steps``-th
+        denoise step (reference :694-697) with the device latents array;
+        requires (and with dispatch='auto' forces) stepwise dispatch."""
         pcfg = self.pipe_config
         num_frames = num_frames or pcfg.num_frames
         height = height or pcfg.height
@@ -957,14 +1018,29 @@ class I2VAdapterPipeline:
         else:
             negatives = list(negative_prompt)
 
+        if num_videos_per_prompt < 1:
+            raise ValueError(
+                f"num_videos_per_prompt must be >= 1, got {num_videos_per_prompt}"
+            )
+        if num_videos_per_prompt > 1:
+            # interleaved repeat ([p0,p0,p1,p1] for N=2) — the reference's
+            # repeat_interleave order in encode_prompt / encode_image
+            n = num_videos_per_prompt
+            prompts = [p for p in prompts for _ in range(n)]
+            negatives = [p for p in negatives for _ in range(n)]
+            batch = len(prompts)
+
         text_ids = self.tokenizer(
             negatives + prompts if use_cfg else prompts, padding="max_length"
         )
 
         if has_condition:
             cond = image_utils.preprocess_batch(condition_image, height, width)
-            if cond.shape[0] == 1 and batch > 1:
-                cond = np.repeat(cond, batch, axis=0)
+            if cond.shape[0] != batch and batch % cond.shape[0] == 0:
+                # broadcast one image to all clips, or repeat each of B
+                # images num_videos_per_prompt times (interleaved, matching
+                # the prompt expansion above)
+                cond = np.repeat(cond, batch // cond.shape[0], axis=0)
         else:
             lat = self.config.vae.spatial_scale_factor
             cond = np.zeros((batch, height, width, 3), dtype=np.float32)
@@ -983,8 +1059,8 @@ class I2VAdapterPipeline:
                     for s in srcs
                 ]
             )
-            if clip_img.shape[0] == 1 and batch > 1:
-                clip_img = np.repeat(clip_img, batch, axis=0)
+            if clip_img.shape[0] != batch and batch % clip_img.shape[0] == 0:
+                clip_img = np.repeat(clip_img, batch // clip_img.shape[0], axis=0)
         else:
             s = self.config.image_encoder.image_size
             clip_img = np.zeros((batch, s, s, 3), dtype=np.float32)
@@ -1009,10 +1085,13 @@ class I2VAdapterPipeline:
             self._check_memory_envelope(concurrent_evals, height, width, batch)
         sf = self.config.vae.spatial_scale_factor
         tokens = (height // sf) * (width // sf)
+        unet_chunk_auto = unet_chunk == 0
         if unet_chunk == 0:
             # token-scaled: 256 evals at 512px (4096 tokens) and 128 evals
             # at 768px both exceed one chip unchunked
-            unet_chunk = 2 if evals * tokens >= 256 * 4096 else 1
+            unet_chunk = (
+                2 if evals * tokens >= self.UNET_CHUNK_AUTO_EVAL_TOKENS else 1
+            )
         if decode_slice == 0 and batch * num_frames > 64:
             decode_slice = 32
         if decode_slice == 0 and tokens > 4096 and batch * num_frames > 8:
@@ -1021,6 +1100,31 @@ class I2VAdapterPipeline:
 
         if dispatch not in ("auto", "scan", "stepwise"):
             raise ValueError(f"dispatch must be auto/scan/stepwise, got {dispatch!r}")
+        if callback is not None:
+            if callback_steps < 1:
+                raise ValueError(f"callback_steps must be >= 1, got {callback_steps}")
+            if dispatch == "scan":
+                raise ValueError(
+                    "per-step callback requires stepwise dispatch (the fused "
+                    "scan runs the whole clip as one device program); pass "
+                    "dispatch='stepwise' or 'auto'"
+                )
+            dispatch = "stepwise"
+        init_latents = None
+        if latents is not None and not has_condition:
+            # reference prepare_latents(latents=...); with a condition image
+            # the similarity prior replaces them (:647-656), so they are
+            # (faithfully) dropped on that path above
+            lat_shape = (
+                batch, num_frames, height // sf, width // sf,
+                self.config.unet.in_channels,
+            )
+            latents = np.asarray(latents)
+            if latents.shape != lat_shape:
+                raise ValueError(
+                    f"latents shape {latents.shape} != expected {lat_shape}"
+                )
+            init_latents = jnp.asarray(latents, dtype=jnp.float32)
         enc_cache = (
             encoder_cache
             if encoder_cache is not None
@@ -1038,9 +1142,16 @@ class I2VAdapterPipeline:
                     f"(num_frames {num_frames} > motion cap {motion_cap})"
                 )
             if unet_chunk > 1:
-                raise ValueError(
-                    "encoder_cache does not compose with unet_chunk > 1"
-                )
+                if unet_chunk_auto:
+                    # the chunk was auto-derived, not user-requested: fall
+                    # back to unchunked (the HBM-envelope check above still
+                    # guards memory) instead of refusing with an error about
+                    # a knob the user never set (ADVICE r3)
+                    unet_chunk = 1
+                else:
+                    raise ValueError(
+                        "encoder_cache does not compose with unet_chunk > 1"
+                    )
         if dispatch == "auto":
             # estimated per-clip UNet work in frame-evals x latent-tokens;
             # tiling re-evaluates overlap frames (+1 anchor per interior
@@ -1074,6 +1185,9 @@ class I2VAdapterPipeline:
                 jnp.asarray(cond),
                 jnp.asarray(clip_img),
                 jax.random.PRNGKey(seed),
+                init_latents,
+                callback=callback,
+                callback_steps=callback_steps,
             ))
             if not np.isfinite(latents).all():
                 raise FloatingPointError(
@@ -1093,13 +1207,26 @@ class I2VAdapterPipeline:
                 float(guidance), use_cfg, has_condition, decode_slice,
                 vae_tiling, unet_chunk, enc_cache,
             )
-        video = fn(
-            self.params,
-            jnp.asarray(text_ids),
-            jnp.asarray(cond),
-            jnp.asarray(clip_img),
-            jax.random.PRNGKey(seed),
-        )
+        if dispatch == "stepwise":
+            video = fn(
+                self.params,
+                jnp.asarray(text_ids),
+                jnp.asarray(cond),
+                jnp.asarray(clip_img),
+                jax.random.PRNGKey(seed),
+                init_latents,
+                callback=callback,
+                callback_steps=callback_steps,
+            )
+        else:
+            video = fn(
+                self.params,
+                jnp.asarray(text_ids),
+                jnp.asarray(cond),
+                jnp.asarray(clip_img),
+                jax.random.PRNGKey(seed),
+                init_latents,
+            )
         video = np.asarray(video).reshape(
             batch, num_frames, height, width, self.config.vae.out_channels
         )
@@ -1118,6 +1245,11 @@ class I2VAdapterPipeline:
         if output_type == "pt" or output_type == "float":
             return video
         return image_utils.postprocess_video(video)
+
+    # unet_chunk=0 auto-enables forward chunking once the concurrent
+    # frame-evals x latent-tokens reach this (256 evals at 512px / 128 at
+    # 768px both exceed one chip unchunked)
+    UNET_CHUNK_AUTO_EVAL_TOKENS: int = 256 * 4096
 
     # measured single-chip envelope (BASELINE.md config 3, v5e 16 GB):
     # 128 CFG-doubled frame-evals at 512px (4096 latent tokens each) serve

@@ -37,11 +37,49 @@ import argparse
 import json
 import logging
 import os
+import threading
 import time
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+class RequestTimeout(Exception):
+    """A request exceeded the per-request wall-clock bound."""
+
+
+def _run_with_timeout(fn, timeout: float | None):
+    """Run ``fn()`` bounded by ``timeout`` seconds of wall clock.
+
+    A hung TPU transport blocks inside a C call, where signals can't
+    interrupt — so the request runs in a daemon thread and the caller
+    waits with a timeout.  On timeout the thread cannot be killed (it may
+    hold a wedged device handle), so the caller must recycle the worker
+    process after failing the request; the daemon flag lets process exit
+    reap it."""
+    if timeout is None:
+        return fn()
+    box: dict = {}
+
+    def target():
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised in the caller
+            box["error"] = e
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        raise RequestTimeout(
+            f"request exceeded the {timeout:.1f}s wall-clock bound; the "
+            "dispatch thread may be wedged on the device transport — "
+            "recycling the worker"
+        )
+    if "error" in box:
+        raise box["error"]
+    return box["value"]
 
 _REQUEST_KEYS = (
     "negative_prompt", "num_frames", "height", "width",
@@ -103,9 +141,23 @@ def serve(
     output_dir: str,
     poll_interval: float = 0.5,
     max_requests: int | None = None,
+    request_timeout: float | None = None,
 ) -> int:
     """Serve until interrupted (or ``max_requests`` processed; for tests
-    and smoke runs).  Returns the number of requests processed."""
+    and smoke runs).  Returns the number of requests processed.
+
+    ``request_timeout`` bounds each request's wall clock (the watchdog):
+    a dispatch that hangs the device transport — the one failure mode
+    poison-request isolation can't catch, observed on this box's tunnel
+    under oversized work — fails the request with ``RequestTimeout`` and
+    the loop RETURNS so a supervisor restarts the worker on a fresh
+    device handle (the stuck dispatch thread can't be killed; process
+    exit reaps it).  Interaction with dispatch modes: stepwise bounds
+    every device call to one denoise step, so a wedge is detected within
+    ~one step; the fused scan is a single dispatch, detected only at the
+    timeout itself.  Size the timeout for the slowest legitimate shape
+    bucket (first-call compiles can take minutes — warm the bucket first
+    or include compile headroom)."""
     os.makedirs(requests_dir, exist_ok=True)
     os.makedirs(output_dir, exist_ok=True)
     done = 0
@@ -129,13 +181,25 @@ def serve(
             rid = name[: -len(".json")]
             out_prefix = os.path.join(output_dir, rid)
             t0 = time.time()
+            timed_out = False
             try:
                 with open(working) as f:
                     req = json.load(f)
-                result = process_request(pipe, req, out_prefix)
+                result = _run_with_timeout(
+                    lambda: process_request(pipe, req, out_prefix),
+                    request_timeout,
+                )
             except KeyboardInterrupt:
                 os.rename(working, working[: -len(".working")])  # un-claim
                 raise
+            except RequestTimeout as e:
+                timed_out = True
+                result = {
+                    "ok": False,
+                    "error": f"{type(e).__name__}: {e}",
+                    "latency_s": round(time.time() - t0, 3),
+                }
+                logger.error("request %s timed out: %s", rid, result["error"])
             except Exception as e:  # noqa: BLE001 — poison requests must
                 # never take the serving worker down (HBM-envelope refusal,
                 # NaN guard, bad image path, malformed JSON all land here)
@@ -157,6 +221,11 @@ def serve(
                 "[%d] %s %s (%.2fs)", done, rid,
                 "ok" if result["ok"] else "FAILED", result["latency_s"],
             )
+            if timed_out:
+                # the stuck dispatch thread may hold a wedged device handle:
+                # stop claiming work and let the supervisor restart us
+                logger.error("recycling worker after request timeout")
+                return done
     return done
 
 
@@ -172,6 +241,10 @@ def parse_args(argv=None):
     p.add_argument("--poll_interval", type=float, default=0.5)
     p.add_argument("--max_requests", type=int, default=None,
                    help="exit after N requests (smoke runs); default: forever")
+    p.add_argument("--request_timeout", type=float, default=None,
+                   help="per-request wall-clock bound in seconds; on timeout "
+                        "the request fails and the worker exits for a "
+                        "supervisor restart (see serve())")
     p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=512)
@@ -228,6 +301,7 @@ def main(argv=None):
     serve(
         pipe, args.requests_dir, args.output_dir,
         poll_interval=args.poll_interval, max_requests=args.max_requests,
+        request_timeout=args.request_timeout,
     )
 
 

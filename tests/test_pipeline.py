@@ -260,8 +260,9 @@ def test_encoder_cache_turbo_mode(tiny_pipeline):
     assert np.isfinite(v3).all()
 
     # stepwise dispatch drives the same full/cached pair from the host
-    # loop — bit-identical to the fused turbo scan (this is how turbo
-    # reaches config-5-class workloads whose fused dispatch is refused)
+    # loop — same part functions in the same order, equivalence-tested to
+    # 2e-5 (this is how turbo reaches large sub-motion-cap stepwise
+    # workloads; tiled clips still refuse it)
     v_sw = tiny_pipeline("a cat", condition_image=img, seed=5,
                          output_type="float", num_inference_steps=4,
                          encoder_cache=2, dispatch="stepwise")
@@ -332,3 +333,128 @@ def test_dispatch_auto_selects_stepwise_for_huge_work(tiny_pipeline, monkeypatch
     )
     tiny_pipeline("a", condition_image=img, seed=0)
     assert chosen["mode"] == "stepwise"
+
+
+def test_num_videos_per_prompt(tiny_pipeline):
+    """Reference __call__ kwarg (pipeline_i2v_adapter.py:545): each prompt
+    and its condition image repeat N times, interleaved."""
+    img = (np.random.default_rng(11).random((32, 32, 3)) * 255).astype(np.uint8)
+    v = tiny_pipeline("a cat", condition_image=img, seed=2,
+                      num_videos_per_prompt=2, output_type="float")
+    assert v.shape == (2, 2, 32, 32, 3)
+    # the two videos of one prompt draw different noise (batch-positional RNG)
+    assert np.abs(v[0] - v[1]).max() > 0
+    # interleaved expansion equals an explicit repeated-prompt batch
+    v_explicit = tiny_pipeline(["a cat", "a cat"], condition_image=img,
+                               seed=2, output_type="float")
+    np.testing.assert_array_equal(v, v_explicit)
+    with pytest.raises(ValueError, match="num_videos_per_prompt"):
+        tiny_pipeline("a", condition_image=img, num_videos_per_prompt=0)
+
+
+def test_caller_supplied_latents(tiny_pipeline):
+    """Reference prepare_latents(latents=...) (:633-645): supplied initial
+    latents drive the no-condition path deterministically across seeds; a
+    condition image's similarity prior replaces them (:647-656)."""
+    rng = np.random.default_rng(12)
+    init = rng.standard_normal((1, 2, 16, 16, 4)).astype(np.float32)
+    v1 = tiny_pipeline("a cat", latents=init, seed=1, output_type="float")
+    v2 = tiny_pipeline("a cat", latents=init, seed=99, output_type="float")
+    # eta=0 DDIM with fixed initial latents: seed-independent output
+    np.testing.assert_array_equal(v1, v2)
+    v3 = tiny_pipeline("a cat", latents=2.0 * init, seed=1, output_type="float")
+    assert np.abs(v1 - v3).max() > 0
+    with pytest.raises(ValueError, match="latents shape"):
+        tiny_pipeline("a cat", latents=init[:, :1], seed=1)
+    # with a condition image the prior overwrites supplied latents
+    # (faithful to the reference) — output matches the no-latents call
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    va = tiny_pipeline("a cat", condition_image=img, latents=init, seed=4,
+                       output_type="float")
+    vb = tiny_pipeline("a cat", condition_image=img, seed=4,
+                       output_type="float")
+    np.testing.assert_array_equal(va, vb)
+
+
+def test_per_step_callback(tiny_pipeline):
+    """Reference per-step callback (:694-697): fires len(schedule) times
+    (every callback_steps-th step) with (i, t, latents); requires stepwise
+    dispatch."""
+    from i2v_adapter_tpu.schedulers.ddim import ddim_schedule_arrays
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    seen = []
+
+    def cb(i, t, lat):
+        seen.append((i, t, np.asarray(lat).shape))
+
+    v = tiny_pipeline("a", condition_image=img, seed=0, output_type="float",
+                      num_inference_steps=4, callback=cb)
+    ts, _ = ddim_schedule_arrays(
+        tiny_pipeline.config.scheduler, 4,
+        tiny_pipeline.pipe_config.frame_similarity_sample_ratio,
+    )
+    assert [s[0] for s in seen] == list(range(len(ts)))
+    assert [s[1] for s in seen] == [int(t) for t in ts]
+    assert all(s[2] == (1, 2, 16, 16, 4) for s in seen)
+    assert v.shape == (1, 2, 32, 32, 3)
+
+    # callback_steps thins the invocations
+    seen.clear()
+    tiny_pipeline("a", condition_image=img, seed=0, output_type="float",
+                  num_inference_steps=4, callback=cb, callback_steps=2)
+    assert [s[0] for s in seen] == [i for i in range(len(ts)) if i % 2 == 0]
+
+    # turbo pairs also fire per half-step
+    seen.clear()
+    tiny_pipeline("a", condition_image=img, seed=0, output_type="float",
+                  num_inference_steps=4, callback=cb, encoder_cache=2)
+    assert [s[0] for s in seen] == list(range(len(ts)))
+
+    with pytest.raises(ValueError, match="stepwise"):
+        tiny_pipeline("a", condition_image=img, callback=cb, dispatch="scan")
+
+
+def test_encoder_cache_latent_output(tiny_pipeline):
+    """ADVICE r3: output_type='latent' with encoder_cache=2 (newly allowed)
+    must produce finite latents that decode to the decoded turbo run."""
+    import jax.numpy as jnp
+
+    tiny_pipeline.enable_int8_conv(False)
+    try:
+        img = (np.random.default_rng(13).random((32, 32, 3)) * 255).astype(
+            np.uint8
+        )
+        lat = tiny_pipeline("a cat", condition_image=img, seed=5,
+                            output_type="latent", num_inference_steps=4,
+                            encoder_cache=2)
+        assert np.isfinite(lat).all()
+        video = tiny_pipeline("a cat", condition_image=img, seed=5,
+                              output_type="float", num_inference_steps=4,
+                              encoder_cache=2)
+        scale = tiny_pipeline.config.vae.scaling_factor
+        dec = tiny_pipeline.vae.apply(
+            tiny_pipeline.params["vae"],
+            jnp.asarray(lat.reshape(2, 16, 16, 4) / scale),
+            method=tiny_pipeline.vae.decode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec).reshape(1, 2, 32, 32, 3), video, atol=2e-5
+        )
+    finally:
+        tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
+
+
+def test_encoder_cache_auto_chunk_falls_back(tiny_pipeline, monkeypatch):
+    """ADVICE r3: when unet_chunk was AUTO-derived (user passed 0), turbo
+    must fall back to unchunked instead of refusing with an error about a
+    knob the user never set; an explicit unet_chunk=2 still refuses."""
+    monkeypatch.setattr(
+        tiny_pipeline.__class__, "UNET_CHUNK_AUTO_EVAL_TOKENS", 1
+    )
+    img = np.zeros((32, 32, 3), np.uint8)
+    v = tiny_pipeline("a", condition_image=img, seed=0, encoder_cache=2,
+                      num_inference_steps=2, output_type="float")
+    assert np.isfinite(v).all()
+    with pytest.raises(ValueError, match="unet_chunk"):
+        tiny_pipeline("a", condition_image=img, encoder_cache=2, unet_chunk=2)

@@ -133,3 +133,57 @@ def test_serve_refuses_over_envelope_without_dying(tiny_pipe, tmp_path):
     with open(os.path.join(out_dir, "huge.result.json")) as f:
         r = json.load(f)
     assert not r["ok"]
+
+
+class _HangingPipe:
+    """Fake pipeline simulating a dispatch wedged on the device transport:
+    blocks far past any timeout (poison isolation can't catch this — the
+    call never raises)."""
+
+    def __call__(self, *a, **k):
+        import time
+
+        time.sleep(60)
+
+    def export_gifs(self, *a, **k):  # pragma: no cover - never reached
+        raise AssertionError("hanging pipe should never produce output")
+
+
+def test_serve_request_timeout_recycles_worker(tiny_pipe, tmp_path):
+    """VERDICT r3 #5: the per-request wall-clock watchdog.  A hanging
+    dispatch fails the request with RequestTimeout, the worker stops
+    claiming work (returns for a supervisor restart), later requests stay
+    queued, and a restarted worker drains them."""
+    req_dir = str(tmp_path / "requests")
+    out_dir = str(tmp_path / "output")
+    os.makedirs(req_dir)
+    img_path = str(tmp_path / "cond.png")
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_path)
+    import time
+
+    for i, rid in enumerate(["a_hang", "b_good"]):
+        with open(os.path.join(req_dir, rid + ".json"), "w") as f:
+            json.dump({"prompt": "x", "image": img_path, "format": "npy"}, f)
+        # distinct mtimes so the queue order is deterministic
+        t = time.time() + i
+        os.utime(os.path.join(req_dir, rid + ".json"), (t, t))
+
+    n = serve(_HangingPipe(), req_dir, out_dir, max_requests=5,
+              request_timeout=0.5)
+    assert n == 1  # recycled after the timed-out request
+    with open(os.path.join(out_dir, "a_hang.result.json")) as f:
+        r = json.load(f)
+    assert not r["ok"] and "RequestTimeout" in r["error"]
+    assert sorted(os.listdir(req_dir)) == [
+        "a_hang.json.failed", "b_good.json",  # b stays queued, unclaimed
+    ]
+
+    # supervisor restart with a healthy worker drains the queue; a request
+    # under the timeout is unaffected by the watchdog
+    n = serve(tiny_pipe, req_dir, out_dir, max_requests=5,
+              request_timeout=600.0)
+    assert n == 1
+    with open(os.path.join(out_dir, "b_good.result.json")) as f:
+        r = json.load(f)
+    assert r["ok"]
+    assert os.path.exists(os.path.join(out_dir, "b_good.npy"))
