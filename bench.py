@@ -241,6 +241,37 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    if os.environ.get("BENCH_CFG5"):
+        # config 5 (64-frame 768px): temporal tiling + stepwise dispatch.
+        # BENCH_CFG5_TURBO=1 adds the per-window encoder-cache A/B (round
+        # 4: turbo composes with tiling via per-window caches).
+        img5 = np.zeros((768, 768, 3), np.uint8)
+
+        def run_cfg5(**kw):
+            t0 = time.time()
+            v = pipe(
+                "bench prompt", condition_image=img5, num_frames=64,
+                height=768, width=768, num_inference_steps=steps, seed=1,
+                output_type="float", **kw,
+            )
+            dt = time.time() - t0
+            assert np.isfinite(v).all()
+            return dt
+
+        dt_cold = run_cfg5()
+        print(f"[bench] config5 exact compile+run: {dt_cold:.1f}s",
+              file=sys.stderr)
+        dt5 = run_cfg5()
+        print(f"[bench] config5 exact: {dt5:.1f}s/clip", file=sys.stderr)
+        if os.environ.get("BENCH_CFG5_TURBO"):
+            dtt_cold = run_cfg5(encoder_cache=2)
+            dtt = run_cfg5(encoder_cache=2)
+            print(
+                f"[bench] config5 turbo (encoder_cache=2, per-window "
+                f"caches): {dtt:.1f}s/clip vs exact {dt5:.1f}s "
+                f"({(dtt / dt5 - 1) * 100:+.1f}%)", file=sys.stderr,
+            )
+
     if os.environ.get("BENCH_TRAIN"):
         _bench_train(model_config)
 

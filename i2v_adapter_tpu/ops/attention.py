@@ -1240,6 +1240,15 @@ def temporal_attention(
             )
             if out is not None:
                 return out
+            if ctx.mesh.size > 1:
+                # same hard-error avoidance as the flash dispatcher: a bare
+                # Mosaic kernel cannot be GSPMD-partitioned — use the
+                # einsum lowering, which partitions fine (concrete impl, not
+                # 'xla', so an I2V_TEMPORAL_IMPL force can't re-enter here)
+                return temporal_attention(
+                    q, k, v, heads=heads,
+                    impl="vpu2" if s >= 2048 else "mxu",
+                )
         if cs:
             return _temporal_pallas_cs(q, k, v, heads, interp)
         return _temporal_pallas(q, k, v, heads, interp)
@@ -1356,4 +1365,12 @@ def _pallas_maybe_spmd(q, k, v, kv_repeat, scale, interpret, static_max):
         )
         if out is not None:
             return out
+        if ctx.mesh.size > 1:
+            # shapes don't meet the shard_map layout constraints: a bare
+            # pallas_call inside a multi-device GSPMD graph is a HARD
+            # Mosaic error when propagation assigns it a non-replicated
+            # sharding ("Mosaic kernels cannot be automatically
+            # partitioned" — hit by the v5e-8 train-step topology AOT), so
+            # degrade to the partitionable XLA lowering instead
+            return xla_attention(q, k, v, kv_repeat=kv_repeat, scale=scale)
     return _attention_pallas(q, k, v, kv_repeat, scale, interpret, static_max)

@@ -53,7 +53,9 @@ _INSTR_RE = re.compile(
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 _GROUPS_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
 _GROUPS_LIST_RE = re.compile(r"replica_groups=\{([^}]*)\}")
-_COMPUTATION_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\([^)]*\)\s*->")
+# computation header: ``%name (params...) -> type {`` — params may contain
+# nested tuple parens, so match greedily up to the ``->``
+_COMPUTATION_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*->")
 
 
 def _shape_bytes(shape_text: str) -> int:
@@ -168,9 +170,15 @@ def parse_collectives(hlo_text: str) -> List[CollectiveOp]:
         out_bytes = _shape_bytes(shape_text)
         if kind == "all-gather" and "-start(" in line:
             # all-gather-start shape is (operand, result): count the result
-            parts = shape_text.strip("() ").split("], ")
-            if len(parts) >= 2:
-                out_bytes = _shape_bytes(parts[-1] + "]")
+            ms = _SHAPE_RE.findall(shape_text)
+            if len(ms) >= 2:
+                dtype, dims = ms[-1]
+                bits = _DTYPE_BITS.get(dtype, 0)
+                numel = (
+                    int(np.prod([int(d) for d in dims.split(",") if d]))
+                    if dims else 1
+                )
+                out_bytes = (numel * bits) // 8
         ops.append(CollectiveOp(
             kind=kind, shape=shape_text.strip(), out_bytes=out_bytes,
             group_size=group_size, computation=current_comp,

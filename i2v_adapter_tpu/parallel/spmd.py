@@ -61,24 +61,39 @@ from i2v_adapter_tpu.parallel.mesh import (
 @dataclass(frozen=True)
 class AttentionSpmd:
     """Declares the mesh layout of attention operands inside a sharded
-    sampler, so the ops-level dispatchers can wrap Pallas kernels in
-    shard_map with matching specs."""
+    sampler or train step, so the ops-level dispatchers can wrap Pallas
+    kernels in shard_map with matching specs.
+
+    ``clip_axis`` may be a single mesh axis (inference: the CFG-doubled
+    clip axis rides ``data``) or a tuple of axes (training: the global
+    batch is sharded over ``(data, fsdp)``, matching
+    ``parallel.mesh.batch_sharding``)."""
 
     mesh: Mesh
-    clip_axis: str = DATA_AXIS  # CFG-doubled clip axis (dim 0 of the batch)
+    clip_axis: Tuple[str, ...] = DATA_AXIS  # clip/batch axis (dim 0)
     frame_axis: str = SEQ_AXIS  # video frame axis
     tensor_axis: str = TENSOR_AXIS  # attention-head sharding
 
     @property
-    def eval_axes(self) -> Tuple[str, str]:
-        return (self.clip_axis, self.frame_axis)
+    def clip_axes(self) -> Tuple[str, ...]:
+        c = self.clip_axis
+        return (c,) if isinstance(c, str) else tuple(c)
 
-    def size(self, axis: str) -> int:
+    @property
+    def eval_axes(self) -> Tuple[str, ...]:
+        return self.clip_axes + (self.frame_axis,)
+
+    def size(self, axis) -> int:
+        if not isinstance(axis, str):
+            n = 1
+            for a in axis:
+                n *= int(self.mesh.shape.get(a, 1))
+            return n
         return int(self.mesh.shape.get(axis, 1))
 
     @property
     def eval_parallelism(self) -> int:
-        return self.size(self.clip_axis) * self.size(self.frame_axis)
+        return self.size(self.clip_axes) * self.size(self.frame_axis)
 
 
 _STACK: list = []
@@ -125,11 +140,17 @@ def spmd_flash_attention(
 
     Constraints (serving shapes satisfy them by construction):
       * kv_repeat == 1: dim 0 divisible by clip·frame parallelism.
-      * kv_repeat > 1 (cross-frame): one clip per clip-shard
-        (``k.shape[0] == clip_size``) so the local q→kv index map stays the
+      * kv_repeat > 1 (cross-frame), one clip per clip-shard
+        (``k.shape[0] == clip_size``): the local q→kv index map stays the
         kernel's ``q_block // kv_repeat``; frames divisible by frame shards.
+      * kv_repeat > 1, MULTIPLE clips per clip-shard (training / batched
+        serving: ``k.shape[0] % clip_size == 0``): legal only when frames
+        are NOT seq-sharded — q's dim 0 is clip-major, so a contiguous
+        clip-shard slab holds whole clips and the kernel's multi-clip
+        ``b // (kv_repeat·h)`` routing applies; with seq shards the slab
+        would mix partial clips.
     """
-    d, s = ctx.size(ctx.clip_axis), ctx.size(ctx.frame_axis)
+    d, s = ctx.size(ctx.clip_axes), ctx.size(ctx.frame_axis)
     n = d * s
     if n == 1:
         return None
@@ -142,14 +163,22 @@ def spmd_flash_attention(
         in_specs = (spec, spec, spec)
         local_repeat = 1
         out_spec = spec
-    else:
-        if k.shape[0] != d or kv_repeat % s:
-            return None
+    elif k.shape[0] == d and kv_repeat % s == 0:
         qspec = P(ctx.eval_axes, None, haxis, None)
-        kspec = P((ctx.clip_axis,), None, haxis, None)
+        kspec = P(ctx.clip_axes, None, haxis, None)
         in_specs = (qspec, kspec, kspec)
         local_repeat = kv_repeat // s
         out_spec = qspec
+    elif k.shape[0] % d == 0 and s == 1:
+        # multi-clip shards, frames unsharded: shard dim 0 over the clip
+        # axes only
+        qspec = P(ctx.clip_axes, None, haxis, None)
+        kspec = P(ctx.clip_axes, None, haxis, None)
+        in_specs = (qspec, kspec, kspec)
+        local_repeat = kv_repeat
+        out_spec = qspec
+    else:
+        return None
 
     fn = _shard_map(
         lambda ql, kl, vl: plain_call(ql, kl, vl, local_repeat),
@@ -200,7 +229,7 @@ def spmd_temporal_attention(local_call, q, k, v, heads: int, ctx: AttentionSpmd)
     and ``local_call(q, k_full, v_full, heads_local)`` computes only the
     local query frames.  Returns None when constraints don't hold."""
     b, f, _, c = q.shape
-    d, s = ctx.size(ctx.clip_axis), ctx.size(ctx.frame_axis)
+    d, s = ctx.size(ctx.clip_axes), ctx.size(ctx.frame_axis)
     if d * s == 1:
         return None
     if b % d or f % s:
@@ -209,7 +238,7 @@ def spmd_temporal_attention(local_call, q, k, v, heads: int, ctx: AttentionSpmd)
     t = ctx.size(ctx.tensor_axis) if haxis else 1
     # C is head-major (heads * dim_head): sharding C over tensor keeps whole
     # heads local.
-    spec = P(ctx.clip_axis, ctx.frame_axis, None, haxis)
+    spec = P(ctx.clip_axes, ctx.frame_axis, None, haxis)
     frame_axis = ctx.frame_axis
 
     def local(ql, kl, vl):

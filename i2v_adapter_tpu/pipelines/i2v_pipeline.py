@@ -48,6 +48,23 @@ from i2v_adapter_tpu.utils.tokenizer import CLIPTokenizer
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def _encoder_cache_elems_per_eval(ucfg, lh: int, lw: int) -> int:
+    """Elements of one frame-eval's ``(x, skips)`` encoder cache
+    (VideoUNet down path: conv_in skip, per-layer skips, downsample skips,
+    final down-path output) — sizes the encoder_cache=2 persistent
+    footprint before dispatch."""
+    h, w = lh, lw
+    n = len(ucfg.block_out_channels)
+    elems = h * w * ucfg.block_out_channels[0]  # conv_in skip
+    for i, ch in enumerate(ucfg.block_out_channels):
+        elems += ucfg.layers_per_block * h * w * ch
+        if i < n - 1:
+            h, w = -(-h // 2), -(-w // 2)
+            elems += h * w * ch  # downsample skip
+    elems += h * w * ucfg.block_out_channels[-1]  # down-path output x
+    return elems
+
+
 class I2VAdapterPipeline:
     """Holds model params + tokenizer; builds cached jitted samplers.
 
@@ -599,8 +616,14 @@ class I2VAdapterPipeline:
         # NEXT timestep (time tower / mid / up run fresh) — an
         # approximation, quality-gated by the caller, never on by default.
         # Deliberately separate closures from step_fn: the exact path
-        # stays byte-identical, and chunking/tiling (which would need
-        # per-window caches) are excluded by __call__'s validation. ----
+        # stays byte-identical.  Composes with forward chunking (per-CHUNK
+        # caches: lax.map stacks each chunk's features along a leading
+        # axis, and the cached map slices them back per chunk) and with
+        # temporal tiling (per-WINDOW caches: each window is an
+        # independent UNet forward; the static window layout keys the
+        # cache tuple) — so config-5-class tiled workloads can run turbo.
+        # The cache is persistent across the step pair, so __call__ bounds
+        # its size separately from the compute envelope. ----
         def _pre_step(consts, carry):
             cond_latents = consts[0]
             latents, step_key = carry
@@ -630,18 +653,108 @@ class I2VAdapterPipeline:
             )
             return (shard_frames(latents), step_key)
 
-        def step_full_fn(params, consts, carry, t, tp):
-            _, text_states, image_embeds = consts
-            latents, step_key, model_in = _pre_step(consts, carry)
-            noise_pred, enc_cache = self.unet.apply(
+        def _unet_full(params, x, t, text_states, image_embeds):
+            """(noise_pred, enc_cache) for one UNet eval, chunk-composed:
+            with unet_chunk > 1 the lax.map stacks each chunk's features
+            along a leading axis — _unet_cached re-chunks identically."""
+            bsz = x.shape[0]
+            if unet_chunk > 1 and bsz % unet_chunk == 0:
+                per = bsz // unet_chunk
+
+                def one(args):
+                    xc, tsc, iec = args
+                    return self.unet.apply(
+                        params["unet"],
+                        xc.astype(self.dtype),
+                        jnp.full((xc.shape[0],), t),
+                        tsc,
+                        iec,
+                        enable_cross_frame_attn=has_condition,
+                        return_encoder=True,
+                    )
+
+                chunk = lambda a: (
+                    None if a is None
+                    else a.reshape((unet_chunk, per) + a.shape[1:])
+                )
+                out, enc = jax.lax.map(
+                    one,
+                    (chunk(x), chunk(text_states), chunk(image_embeds)),
+                )
+                return out.reshape((bsz,) + out.shape[2:]), enc
+            return self.unet.apply(
                 params["unet"],
-                model_in.astype(self.dtype),
-                jnp.full((model_in.shape[0],), t),
+                x.astype(self.dtype),
+                jnp.full((bsz,), t),
                 text_states,
                 image_embeds,
                 enable_cross_frame_attn=has_condition,
                 return_encoder=True,
             )
+
+        def _unet_cached(params, x, t, text_states, image_embeds, enc):
+            bsz = x.shape[0]
+            if unet_chunk > 1 and bsz % unet_chunk == 0:
+                per = bsz // unet_chunk
+
+                def one(args):
+                    xc, tsc, iec, ec = args
+                    return self.unet.apply(
+                        params["unet"],
+                        xc.astype(self.dtype),
+                        jnp.full((xc.shape[0],), t),
+                        tsc,
+                        iec,
+                        enable_cross_frame_attn=has_condition,
+                        cached_encoder=ec,
+                    )
+
+                chunk = lambda a: (
+                    None if a is None
+                    else a.reshape((unet_chunk, per) + a.shape[1:])
+                )
+                out = jax.lax.map(
+                    one,
+                    (chunk(x), chunk(text_states), chunk(image_embeds), enc),
+                )
+                return out.reshape((bsz,) + out.shape[2:])
+            return self.unet.apply(
+                params["unet"],
+                x.astype(self.dtype),
+                jnp.full((bsz,), t),
+                text_states,
+                image_embeds,
+                enable_cross_frame_attn=has_condition,
+                cached_encoder=enc,
+            )
+
+        if use_tiling:
+            _turbo_window = min(
+                pcfg.temporal_window, cfg.unet.motion_max_seq_length - 1
+            )
+            _turbo_stride = max(
+                1, min(pcfg.temporal_stride, _turbo_window - 1)
+            )
+
+        def step_full_fn(params, consts, carry, t, tp):
+            _, text_states, image_embeds = consts
+            latents, step_key, model_in = _pre_step(consts, carry)
+            if use_tiling:
+                from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
+
+                noise_pred, enc_cache = tiled_unet_call(
+                    lambda x, anchored, cache: _unet_full(
+                        params, x, t, text_states, image_embeds
+                    ),
+                    model_in,
+                    window=_turbo_window,
+                    stride=_turbo_stride,
+                    collect_caches=True,
+                )
+            else:
+                noise_pred, enc_cache = _unet_full(
+                    params, model_in, t, text_states, image_embeds
+                )
             carry = _post_step(
                 noise_pred.astype(jnp.float32), latents, step_key, t, tp
             )
@@ -650,16 +763,25 @@ class I2VAdapterPipeline:
         def step_cached_fn(params, consts, carry, t, tp, enc_cache):
             _, text_states, image_embeds = consts
             latents, step_key, model_in = _pre_step(consts, carry)
-            noise_pred = self.unet.apply(
-                params["unet"],
-                model_in.astype(self.dtype),
-                jnp.full((model_in.shape[0],), t),
-                text_states,
-                image_embeds,
-                enable_cross_frame_attn=has_condition,
-                cached_encoder=enc_cache,
-            ).astype(jnp.float32)
-            return _post_step(noise_pred, latents, step_key, t, tp)
+            if use_tiling:
+                from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
+
+                noise_pred = tiled_unet_call(
+                    lambda x, anchored, cache: _unet_cached(
+                        params, x, t, text_states, image_embeds, cache
+                    ),
+                    model_in,
+                    window=_turbo_window,
+                    stride=_turbo_stride,
+                    caches=enc_cache,
+                )
+            else:
+                noise_pred = _unet_cached(
+                    params, model_in, t, text_states, image_embeds, enc_cache
+                )
+            return _post_step(
+                noise_pred.astype(jnp.float32), latents, step_key, t, tp
+            )
 
         def decode_fn(params, consts, latents):
             cond_latents = consts[0]
@@ -822,10 +944,11 @@ class I2VAdapterPipeline:
         ``encoder_cache=2`` drives the same full/cached step pair as the
         fused turbo scan from the host loop (same part functions in the
         same order; equivalence-tested to 2e-5 — separately-jitted parts
-        may compile differently from the scan body), so the approximation
-        is usable on sub-motion-cap stepwise workloads where a single
-        denoise step costs seconds and halving the down-path matters
-        most (tiled clips — actual config 5 — still refuse it)."""
+        may compile differently from the scan body).  The pair composes
+        with temporal tiling (per-window caches) and forward chunking
+        (per-chunk caches), so actual config-5 workloads — where a single
+        denoise step costs seconds and halving the down path matters
+        most — can run turbo."""
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
@@ -977,7 +1100,9 @@ class I2VAdapterPipeline:
         ``encoder_cache=2``: opt-in turbo approximation — every second
         denoise step reuses the previous step's UNet down-path features
         (see ``PipelineConfig.encoder_cache``; content-level deviation,
-        never on by default).
+        never on by default).  Composes with temporal tiling (per-window
+        caches) and forward chunking (per-chunk caches); the persistent
+        cache footprint is bounded by ``MAX_ENC_CACHE_BYTES``.
 
         ``num_videos_per_prompt``: each prompt (and its condition / IP
         images) is repeated N times with the same interleaved order as the
@@ -1085,7 +1210,6 @@ class I2VAdapterPipeline:
             self._check_memory_envelope(concurrent_evals, height, width, batch)
         sf = self.config.vae.spatial_scale_factor
         tokens = (height // sf) * (width // sf)
-        unet_chunk_auto = unet_chunk == 0
         if unet_chunk == 0:
             # token-scaled: 256 evals at 512px (4096 tokens) and 128 evals
             # at 768px both exceed one chip unchunked
@@ -1132,26 +1256,46 @@ class I2VAdapterPipeline:
         )
         if enc_cache not in (1, 2):
             raise ValueError(f"encoder_cache must be 1 (off) or 2, got {enc_cache}")
-        if enc_cache > 1:
+        if enc_cache > 1 and not memory_unsafe:
             # content-level approximation (see PipelineConfig.encoder_cache);
-            # composes with both dispatch modes but not with temporal tiling
-            # or UNet chunking (those would need per-window/per-chunk caches)
+            # composes with both dispatch modes, UNet chunking (per-chunk
+            # caches via lax.map) and temporal tiling (per-window caches) —
+            # but the cached down-path features PERSIST across the step
+            # pair, so their footprint is bounded separately from the
+            # compute envelope (all windows' caches are alive at once).
             if window is not None:
-                raise ValueError(
-                    "encoder_cache does not compose with temporal tiling "
-                    f"(num_frames {num_frames} > motion cap {motion_cap})"
+                from i2v_adapter_tpu.pipelines.tiling import temporal_windows
+
+                stride = max(1, min(self.pipe_config.temporal_stride, window - 1))
+                cached_evals = sum(
+                    (e - s) + (1 if s > 0 else 0)
+                    for s, e in temporal_windows(num_frames, window, stride)
+                ) * batch * (2 if use_cfg else 1)
+            else:
+                cached_evals = evals
+            cache_bytes = (
+                cached_evals
+                * _encoder_cache_elems_per_eval(
+                    self.config.unet, height // sf, width // sf
                 )
-            if unet_chunk > 1:
-                if unet_chunk_auto:
-                    # the chunk was auto-derived, not user-requested: fall
-                    # back to unchunked (the HBM-envelope check above still
-                    # guards memory) instead of refusing with an error about
-                    # a knob the user never set (ADVICE r3)
-                    unet_chunk = 1
-                else:
-                    raise ValueError(
-                        "encoder_cache does not compose with unet_chunk > 1"
-                    )
+                * (2 if self.pipe_config.dtype == "bfloat16" else 4)
+            )
+            budget = self.MAX_ENC_CACHE_BYTES
+            if getattr(self, "mesh", None) is not None:
+                from i2v_adapter_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+                budget *= int(self.mesh.shape.get(DATA_AXIS, 1)) * int(
+                    self.mesh.shape.get(SEQ_AXIS, 1)
+                )
+            if cache_bytes > budget:
+                raise ValueError(
+                    f"encoder_cache=2 would hold ~{cache_bytes / 1e9:.1f} GB "
+                    f"of down-path features across the step pair "
+                    f"({cached_evals} cached frame-evals) — over the "
+                    f"{budget / 1e9:.1f} GB single-chip cache budget.  Use a "
+                    f"smaller batch/resolution, disable encoder_cache, or "
+                    f"pass memory_unsafe=True on a mesh / larger device."
+                )
         if dispatch == "auto":
             # estimated per-clip UNet work in frame-evals x latent-tokens;
             # tiling re-evaluates overlap frames (+1 anchor per interior
@@ -1263,6 +1407,13 @@ class I2VAdapterPipeline:
     # ~9 s as one fused dispatch — fine; config 5 (22 x 168 x 9216 = 34M)
     # is a multi-minute dispatch, which remote transports kill.  8M ~= 30 s.
     SCAN_DISPATCH_MAX_WORK: int = 8_000_000
+
+    # encoder_cache=2 persistent-feature budget: the cached down-path
+    # features of EVERY window/chunk stay alive across the step pair, on
+    # top of params (~2.8 GB bf16) and the compute working set.  6 GB
+    # leaves ~7 GB of headroom on a 16 GB v5e; config 5 turbo (168 cached
+    # evals at 9216 tokens, ~30 MB each) is ~5.1 GB — inside by design.
+    MAX_ENC_CACHE_BYTES: int = 6_000_000_000
 
     def _check_memory_envelope(
         self, evals: int, height: int, width: int, batch: int

@@ -45,6 +45,9 @@ def tiled_unet_call(
     latents: jnp.ndarray,  # (B, F, H, W, C) — CFG-doubled batch allowed
     window: int,
     stride: int,
+    *,
+    caches=None,
+    collect_caches: bool = False,
 ):
     """Evaluate ``unet_apply(window_latents, first_frame_global)`` on every
     temporal window and blend the per-frame predictions.
@@ -53,6 +56,17 @@ def tiled_unet_call(
     does not start at frame 0, the clip's global first frame is prepended
     (``anchored=True``) so the I2V cross-frame attention still routes K/V
     from the true condition frame; the extra frame's prediction is dropped.
+
+    Encoder-cache composition (the pipeline's ``encoder_cache=2`` turbo
+    mode at >cap frame counts — per-WINDOW caches, since each window is an
+    independent UNet forward):
+
+    * ``collect_caches=True``: ``unet_apply(x, anchored, cache=None)`` must
+      return ``(pred, cache)``; returns ``(blended, tuple_of_caches)``.
+    * ``caches=<tuple>``: ``unet_apply(x, anchored, cache=caches[i])``
+      returns ``pred`` computed from window ``i``'s cached down-path
+      features.  The window layout is static, so the tuple lines up by
+      construction.
     """
     b, f = latents.shape[:2]
     windows = temporal_windows(f, window, stride)
@@ -60,14 +74,24 @@ def tiled_unet_call(
     acc = jnp.zeros_like(latents)
     norm = jnp.zeros((1, f, 1, 1, 1), latents.dtype)
     base_w = window_weights(window, overlap)
+    out_caches = []
 
     for wi, (s, e) in enumerate(windows):
         chunk = latents[:, s:e]
         if s == 0:
-            pred = unet_apply(chunk, False)
+            x, anchored = chunk, False
         else:
-            anchored = jnp.concatenate([latents[:, :1], chunk], axis=1)
-            pred = unet_apply(anchored, True)[:, 1:]
+            x = jnp.concatenate([latents[:, :1], chunk], axis=1)
+            anchored = True
+        if collect_caches:
+            pred, cache = unet_apply(x, anchored, cache=None)
+            out_caches.append(cache)
+        elif caches is not None:
+            pred = unet_apply(x, anchored, cache=caches[wi])
+        else:
+            pred = unet_apply(x, anchored)
+        if anchored:
+            pred = pred[:, 1:]
         w = base_w.copy()
         if wi == 0:
             w[: max(overlap, 0)] = 1.0  # no fade-in at the clip start
@@ -78,4 +102,7 @@ def tiled_unet_call(
         wj = jnp.asarray(w).reshape(1, e - s, 1, 1, 1).astype(latents.dtype)
         acc = acc.at[:, s:e].add(pred * wj)
         norm = norm.at[:, s:e].add(wj)
-    return acc / norm
+    blended = acc / norm
+    if collect_caches:
+        return blended, tuple(out_caches)
+    return blended

@@ -276,7 +276,25 @@ def make_train_step(
     # collectives for temporal attention / cross-frame K/V / motion
     # GroupNorm stats.  batch_sharding is the single source of truth for
     # these specs — driver.put() and __graft_entry__ use the same call ----
-    from i2v_adapter_tpu.parallel.mesh import batch_sharding
+    from i2v_adapter_tpu.parallel.mesh import (
+        DATA_AXIS, FSDP_AXIS, batch_sharding,
+    )
+    from i2v_adapter_tpu.parallel.spmd import attention_spmd
+
+    # Pallas kernels (flash fwd/bwd, temporal cs) cannot be auto-partitioned
+    # by GSPMD — on a real multi-chip mesh a bare pallas_call whose operands
+    # are sharded is a hard Mosaic error (found by the v5e-8 topology AOT
+    # audit; the CPU-sim mesh can't catch it because CPU dispatch never
+    # selects the kernels).  Trace the step under the SPMD context so the
+    # attention dispatchers route through shard_map with the batch sharded
+    # over (data, fsdp) and frames over seq, mirroring batch_sharding; sites
+    # whose shapes don't meet the shard_map layout constraints degrade to
+    # the partitionable XLA lowerings instead of crashing.
+    inner_step = train_step
+
+    def train_step(state, batch, rng):  # noqa: F811 - deliberate wrap
+        with attention_spmd(mesh, clip_axis=(DATA_AXIS, FSDP_AXIS)):
+            return inner_step(state, batch, rng)
 
     batch_shardings = {
         # t2i pixel_values are (B,H,W,3): no frame dim

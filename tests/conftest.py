@@ -15,6 +15,13 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: this box has ONE core and the SD1.5-width
+# suites recompile identical graphs every run (tens of minutes).  Cache
+# XLA executables across runs; harmless when cold.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -71,6 +71,71 @@ def test_spmd_flash_cross_frame_matches_plain(rng, mesh222):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_spmd_flash_multiclip_kv_repeat_matches_plain(rng):
+    """Training / batched-serving shape: MULTIPLE clips per clip-shard
+    (k.shape[0] % clip_size == 0, frames unsharded) — the relaxation that
+    lets the train step's cross-frame sites ride the shard_map kernel
+    instead of degrading to XLA (one-clip-per-shard was an inference-only
+    assumption)."""
+    mesh = create_mesh(MeshConfig(data=8, fsdp=1, tensor=1, seq=1))
+    clips, frames, n, h, d = 16, 2, 32, 4, 8
+    q = _rand(rng, (clips * frames, n, h, d))
+    k = _rand(rng, (clips, n, h, d))
+    v = _rand(rng, (clips, n, h, d))
+    ref = dot_product_attention(
+        q, k, v, kv_repeat=frames, impl="pallas_interpret"
+    )
+    with mesh:
+        with attention_spmd(mesh):
+            out = jax.jit(
+                lambda q, k, v: dot_product_attention(
+                    q, k, v, kv_repeat=frames, impl="pallas_interpret"
+                )
+            )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_spmd_composite_clip_axes_matches_plain(rng):
+    """The train step's SPMD context shards the batch over (data, fsdp)
+    jointly (parallel.mesh.batch_sharding): both the kv_repeat=1 and the
+    multi-clip cross-frame paths must be exact under a composite clip
+    axis."""
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=1, seq=2))
+    bf, n, h, d = 16, 32, 4, 8
+    q, k, v = (_rand(rng, (bf, n, h, d)) for _ in range(3))
+    ref = dot_product_attention(q, k, v, impl="pallas_interpret")
+    with mesh:
+        with attention_spmd(mesh, clip_axis=("data", "fsdp")):
+            ctx = current_attention_spmd()
+            assert ctx.clip_axes == ("data", "fsdp")
+            assert ctx.eval_parallelism == 8
+            out = jax.jit(
+                lambda q, k, v: dot_product_attention(
+                    q, k, v, impl="pallas_interpret"
+                )
+            )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # cross-frame with multiple clips per shard: seq-sharded frames make it
+    # illegal (clip-major slabs would mix partial clips) -> must still be
+    # exact via the XLA fallback; with seq=1 the shard_map path handles it
+    clips, frames = 8, 2
+    q2 = _rand(rng, (clips * frames, n, h, d))
+    k2 = _rand(rng, (clips, n, h, d))
+    v2 = _rand(rng, (clips, n, h, d))
+    ref2 = dot_product_attention(
+        q2, k2, v2, kv_repeat=frames, impl="pallas_interpret"
+    )
+    with mesh:
+        with attention_spmd(mesh, clip_axis=("data", "fsdp")):
+            out2 = jax.jit(
+                lambda q, k, v: dot_product_attention(
+                    q, k, v, kv_repeat=frames, impl="pallas_interpret"
+                )
+            )(q2, k2, v2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-5)
+
+
 def test_spmd_temporal_matches_plain(rng, mesh222):
     b, f, s, c = 2, 4, 16, 16
     q, k, v = (_rand(rng, (b, f, s, c)) for _ in range(3))

@@ -261,8 +261,7 @@ def test_encoder_cache_turbo_mode(tiny_pipeline):
 
     # stepwise dispatch drives the same full/cached pair from the host
     # loop — same part functions in the same order, equivalence-tested to
-    # 2e-5 (this is how turbo reaches large sub-motion-cap stepwise
-    # workloads; tiled clips still refuse it)
+    # 2e-5 (this is how turbo reaches large stepwise workloads)
     v_sw = tiny_pipeline("a cat", condition_image=img, seed=5,
                          output_type="float", num_inference_steps=4,
                          encoder_cache=2, dispatch="stepwise")
@@ -272,8 +271,16 @@ def test_encoder_cache_turbo_mode(tiny_pipeline):
                           encoder_cache=2, dispatch="stepwise")
     np.testing.assert_allclose(v3_sw, v3, atol=2e-5)
 
-    with pytest.raises(ValueError):
-        tiny_pipeline("a", condition_image=img, encoder_cache=2, unet_chunk=2)
+    # forward chunking composes (per-chunk caches via lax.map) — finite
+    # here; the precise chunked-vs-unchunked equivalence runs int8-off in
+    # test_encoder_cache_composes_with_tiling (int8's dynamic activation
+    # scales legitimately differ per chunk)
+    v_chunk = tiny_pipeline("a cat", condition_image=img, seed=5,
+                            output_type="float", num_inference_steps=4,
+                            encoder_cache=2, unet_chunk=2)
+    assert v_chunk.shape == v_turbo.shape
+    assert np.isfinite(v_chunk).all()
+
     with pytest.raises(ValueError):
         tiny_pipeline("a", condition_image=img, encoder_cache=3)
 
@@ -445,10 +452,10 @@ def test_encoder_cache_latent_output(tiny_pipeline):
         tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
 
 
-def test_encoder_cache_auto_chunk_falls_back(tiny_pipeline, monkeypatch):
-    """ADVICE r3: when unet_chunk was AUTO-derived (user passed 0), turbo
-    must fall back to unchunked instead of refusing with an error about a
-    knob the user never set; an explicit unet_chunk=2 still refuses."""
+def test_encoder_cache_auto_chunk_composes(tiny_pipeline, monkeypatch):
+    """When unet_chunk is AUTO-derived (user passed 0), turbo now runs
+    WITH the chunk (per-chunk caches) instead of falling back to
+    unchunked — the auto memory default is preserved under turbo."""
     monkeypatch.setattr(
         tiny_pipeline.__class__, "UNET_CHUNK_AUTO_EVAL_TOKENS", 1
     )
@@ -456,5 +463,56 @@ def test_encoder_cache_auto_chunk_falls_back(tiny_pipeline, monkeypatch):
     v = tiny_pipeline("a", condition_image=img, seed=0, encoder_cache=2,
                       num_inference_steps=2, output_type="float")
     assert np.isfinite(v).all()
-    with pytest.raises(ValueError, match="unet_chunk"):
-        tiny_pipeline("a", condition_image=img, encoder_cache=2, unet_chunk=2)
+    # the auto-chunked turbo result equals the explicitly-chunked one
+    v2 = tiny_pipeline("a", condition_image=img, seed=0, encoder_cache=2,
+                       num_inference_steps=2, output_type="float",
+                       unet_chunk=2)
+    np.testing.assert_allclose(v, v2, atol=2e-5)
+
+
+def test_encoder_cache_composes_with_tiling(tiny_pipeline):
+    """VERDICT r3 #3 (the strong resolution): encoder_cache=2 composes
+    with temporal tiling via per-WINDOW caches — config-5-class tiled
+    clips can run turbo.  10 frames > the tiny motion cap (8) forces two
+    overlapping windows (the second anchored on the global first
+    frame)."""
+    # exact convs: cross-variant equivalence below would otherwise trip
+    # int8's per-chunk dynamic activation scales
+    tiny_pipeline.enable_int8_conv(False)
+    try:
+        img = (np.random.default_rng(3).random((32, 32, 3)) * 255).astype(
+            np.uint8
+        )
+        kw = dict(condition_image=img, seed=4, output_type="float",
+                  num_frames=10, num_inference_steps=4)
+        v_exact = tiny_pipeline("a dog", **kw)
+        v_turbo = tiny_pipeline("a dog", **kw, encoder_cache=2)
+        assert v_turbo.shape == v_exact.shape == (1, 10, 32, 32, 3)
+        assert np.isfinite(v_turbo).all()
+        assert np.abs(v_turbo - v_exact).max() > 0  # genuinely approximate
+
+        # stepwise dispatch drives the same tiled full/cached pair
+        v_sw = tiny_pipeline("a dog", **kw, encoder_cache=2,
+                             dispatch="stepwise")
+        np.testing.assert_allclose(v_sw, v_turbo, atol=2e-5)
+
+        # chunking composes inside each window's forward too (per-chunk
+        # caches): numerically equivalent to the unchunked turbo run
+        v_chunk = tiny_pipeline("a dog", **kw, encoder_cache=2,
+                                unet_chunk=2)
+        np.testing.assert_allclose(v_chunk, v_turbo, atol=2e-5)
+    finally:
+        tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
+
+
+def test_encoder_cache_budget_refusal(tiny_pipeline, monkeypatch):
+    """The persistent cache footprint is bounded separately from the
+    compute envelope; memory_unsafe bypasses it."""
+    monkeypatch.setattr(tiny_pipeline.__class__, "MAX_ENC_CACHE_BYTES", 1)
+    img = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(ValueError, match="cache budget"):
+        tiny_pipeline("a", condition_image=img, encoder_cache=2)
+    v = tiny_pipeline("a", condition_image=img, seed=0, encoder_cache=2,
+                      num_inference_steps=2, output_type="float",
+                      memory_unsafe=True)
+    assert np.isfinite(v).all()

@@ -230,39 +230,33 @@ def test_sd15_full_unet_parity_and_psnr(rng, sd15_sds, converted):
     assert db > 35.0, f"sd15 full-UNet PSNR {db:.1f} dB"
 
 
-def test_sd15_pipeline_loop_psnr(rng, sd15_sds, converted):
-    """FULL-PIPELINE parity at SD1.5 widths (VERDICT r2 #3, pipeline half):
-    the product denoise loop — first-frame clamp -> CFG doubling -> UNet ->
-    guidance combine -> DDIM update, iterated, then final clamp + VAE decode
-    (reference hot loop, pipeline_i2v_adapter.py:665-700) — vs an
-    INDEPENDENT torch/float64 transcription of the same reference math.
+# ---------------------------------------------------------------------------
+# full pipeline-loop parity at SD1.5 widths: exact, serving-default, turbo
+# ---------------------------------------------------------------------------
 
-    The UNet runs at the real 256px-class latent grid (32x32, widths
-    320/640/1280, CFG batch 2); the VAE is the tiny-width config so the
-    decode stays CPU-tractable (decode-path width parity is covered by
-    test_vae_encoder_decoder_parity).  Identical injected noise/consts on
-    both sides; acceptance is the >35 dB PSNR bar plus a composition
-    max-err bound."""
-    from i2v_adapter_tpu.config import (
-        I2VModelConfig,
-        PipelineConfig,
-        tiny_test_config,
-    )
+_LOOP = dict(b=1, f=2, lat=32, steps=2, guidance=7.5)
+
+
+def _jax_pipeline_loop(
+    unet_cfg, vae_cfg, converted_params, vae_params, inputs,
+    encoder_cache: int = 1,
+):
+    """Run the product denoise loop (first-frame clamp -> CFG -> UNet ->
+    guidance -> DDIM -> final clamp -> VAE decode) via the same
+    ``_build_parts`` functions the shipping sampler scans over.
+
+    ``encoder_cache=2`` drives the turbo full/cached step pairs instead
+    (odd trailing step full), mirroring the fused turbo scan's schedule."""
+    from i2v_adapter_tpu.config import I2VModelConfig, PipelineConfig
     from i2v_adapter_tpu.models import AutoencoderKL
     from i2v_adapter_tpu.pipelines.i2v_pipeline import I2VAdapterPipeline
     from i2v_adapter_tpu.schedulers import make_schedule
-    from tests.synth import make_vae_sd
 
-    sd, motion, ip, adapter = sd15_sds
-    tiny_vae = tiny_test_config().vae
-    model_cfg = I2VModelConfig(unet=SD15, vae=tiny_vae)
-    b, f = 1, 2
-    lat = 32
-    height = width = lat * tiny_vae.spatial_scale_factor  # 32x32 latents
-    steps, guidance = 2, 7.5
-    scale = tiny_vae.scaling_factor
+    b, f, lat = _LOOP["b"], _LOOP["f"], _LOOP["lat"]
+    steps, guidance = _LOOP["steps"], _LOOP["guidance"]
+    height = width = lat * vae_cfg.spatial_scale_factor
+    model_cfg = I2VModelConfig(unet=unet_cfg, vae=vae_cfg)
 
-    vae_sd = make_vae_sd(rng, tiny_vae)
     pipe = I2VAdapterPipeline.__new__(I2VAdapterPipeline)
     pipe.config = model_cfg
     pipe.pipe_config = PipelineConfig(
@@ -270,52 +264,91 @@ def test_sd15_pipeline_loop_psnr(rng, sd15_sds, converted):
         dtype="float32",
     )
     pipe.dtype = jnp.float32
-    pipe.unet = VideoUNet(SD15)
-    pipe.vae = AutoencoderKL(tiny_vae)
+    pipe.unet = VideoUNet(unet_cfg)
+    pipe.vae = AutoencoderKL(vae_cfg)
     pipe.schedule = make_schedule(model_cfg.scheduler)
     params = {
-        "unet": {"params": converted},
-        "vae": {"params": convert.convert_vae(vae_sd, tiny_vae)},
+        "unet": {"params": converted_params},
+        "vae": {"params": vae_params},
     }
-
-    # identical injected state on both sides (prep_fn's encoders/prior are
-    # covered by the composite parity suite; this test targets the loop)
-    latents0 = rng.standard_normal((b, f, lat, lat, 4)).astype(np.float32)
-    cond_latents = rng.standard_normal((b, lat, lat, 4)).astype(np.float32)
-    text_states = (
-        rng.standard_normal((2 * b, 77, 768)).astype(np.float32) * 0.5
-    )
-    image_embeds = rng.standard_normal(
-        (2 * b, SD15.image_embed_dim)
-    ).astype(np.float32)
-
-    prep_fn, step_fn, decode_fn, ts, prev, _ = pipe._build_parts(
+    prep_fn, step_fn, decode_fn, ts, prev, pair_fns = pipe._build_parts(
         b, f, height, width, steps, 1.0, guidance, True, True, 0, False, 1
     )
     consts = (
-        jnp.asarray(cond_latents),
-        jnp.asarray(text_states),
-        jnp.asarray(image_embeds),
+        jnp.asarray(inputs["cond_latents"]),
+        jnp.asarray(inputs["text_states"]),
+        jnp.asarray(inputs["image_embeds"]),
     )
-    carry = (jnp.asarray(latents0), jax.random.PRNGKey(0))  # eta=0: key unused
-    for t, tp in zip(ts, prev):
-        carry = step_fn(params, consts, carry, jnp.asarray(t), jnp.asarray(tp))
+    carry = (jnp.asarray(inputs["latents0"]), jax.random.PRNGKey(0))
+    if encoder_cache > 1:
+        step_full_fn, step_cached_fn = pair_fns
+        n2 = (len(ts) // 2) * 2
+        for i in range(0, n2, 2):
+            carry, enc = step_full_fn(
+                params, consts, carry, jnp.asarray(ts[i]), jnp.asarray(prev[i])
+            )
+            carry = step_cached_fn(
+                params, consts, carry, jnp.asarray(ts[i + 1]),
+                jnp.asarray(prev[i + 1]), enc,
+            )
+        for i in range(n2, len(ts)):
+            carry = step_fn(
+                params, consts, carry, jnp.asarray(ts[i]), jnp.asarray(prev[i])
+            )
+    else:
+        for t, tp in zip(ts, prev):
+            carry = step_fn(
+                params, consts, carry, jnp.asarray(t), jnp.asarray(tp)
+            )
     got = np.asarray(decode_fn(params, consts, carry[0]))  # (B, F, H, W*3)
-    got = got.reshape(b, f, height, width, 3)
+    return got.reshape(b, f, height, width, 3)
+
+
+@pytest.fixture(scope="module")
+def loop_setup(rng, sd15_sds):
+    """Shared injected state + the torch/float64 reference for every
+    pipeline-loop test (the SD1.5-width torch mirror is the expensive part
+    — computed once per module)."""
+    from i2v_adapter_tpu.config import I2VModelConfig, tiny_test_config
+    from i2v_adapter_tpu.schedulers import make_schedule
+    from i2v_adapter_tpu.schedulers.ddim import ddim_schedule_arrays
+    from tests.synth import make_vae_sd
+
+    sd, motion, ip, adapter = sd15_sds
+    tiny_vae = tiny_test_config().vae
+    b, f, lat = _LOOP["b"], _LOOP["f"], _LOOP["lat"]
+    steps, guidance = _LOOP["steps"], _LOOP["guidance"]
+    height = width = lat * tiny_vae.spatial_scale_factor
+    scale = tiny_vae.scaling_factor
+    model_cfg = I2VModelConfig(unet=SD15, vae=tiny_vae)
+    schedule = make_schedule(model_cfg.scheduler)
+    ts, prev = ddim_schedule_arrays(model_cfg.scheduler, steps, 1.0)
+
+    vae_sd = make_vae_sd(rng, tiny_vae)
+    inputs = {
+        "latents0": rng.standard_normal((b, f, lat, lat, 4)).astype(np.float32),
+        "cond_latents": rng.standard_normal((b, lat, lat, 4)).astype(np.float32),
+        "text_states": (
+            rng.standard_normal((2 * b, 77, 768)).astype(np.float32) * 0.5
+        ),
+        "image_embeds": rng.standard_normal(
+            (2 * b, SD15.image_embed_dim)
+        ).astype(np.float32),
+    }
 
     # --- independent torch/float64 mirror of the reference loop ---
-    acp = np.asarray(pipe.schedule.alphas_cumprod, np.float64)
-    final_acp = float(np.asarray(pipe.schedule.final_alpha_cumprod))
-    x = latents0.transpose(0, 1, 4, 2, 3).astype(np.float64)  # NCHW frames
-    cond_t = cond_latents.transpose(0, 3, 1, 2).astype(np.float64)
+    acp = np.asarray(schedule.alphas_cumprod, np.float64)
+    final_acp = float(np.asarray(schedule.final_alpha_cumprod))
+    x = inputs["latents0"].transpose(0, 1, 4, 2, 3).astype(np.float64)
+    cond_t = inputs["cond_latents"].transpose(0, 3, 1, 2).astype(np.float64)
     with torch.no_grad():
         for t, tp in zip(ts, prev):
             x[:, 0] = cond_t
             model_in = np.concatenate([x, x], axis=0).astype(np.float32)
             eps = tm.video_unet(
                 SD15, sd, motion, ip, torch.from_numpy(model_in), float(t),
-                torch.from_numpy(text_states),
-                torch.from_numpy(image_embeds), cross_frame=True,
+                torch.from_numpy(inputs["text_states"]),
+                torch.from_numpy(inputs["image_embeds"]), cross_frame=True,
                 adapter_sd=adapter,
             ).numpy().astype(np.float64)
             uncond, text = np.split(eps, 2, axis=0)
@@ -328,9 +361,116 @@ def test_sd15_pipeline_loop_psnr(rng, sd15_sds, converted):
         z = (x.reshape(b * f, 4, lat, lat) / scale).astype(np.float32)
         want = tm.vae_decoder(tiny_vae, vae_sd, torch.from_numpy(z)).numpy()
     want = want.reshape(b, f, 3, height, width).transpose(0, 1, 3, 4, 2)
+    return {
+        "tiny_vae": tiny_vae,
+        "vae_params": convert.convert_vae(vae_sd, tiny_vae),
+        "inputs": inputs,
+        "want": want,
+    }
 
+
+@pytest.fixture(scope="module")
+def exact_loop_output(loop_setup, converted):
+    """The exact-config jax loop output, shared by the exact-parity test
+    and the turbo/serving deviation measurements."""
+    return _jax_pipeline_loop(
+        SD15, loop_setup["tiny_vae"], converted, loop_setup["vae_params"],
+        loop_setup["inputs"],
+    )
+
+
+def test_sd15_pipeline_loop_psnr(loop_setup, exact_loop_output):
+    """FULL-PIPELINE parity at SD1.5 widths (VERDICT r2 #3, pipeline half):
+    the product denoise loop — first-frame clamp -> CFG doubling -> UNet ->
+    guidance combine -> DDIM update, iterated, then final clamp + VAE decode
+    (reference hot loop, pipeline_i2v_adapter.py:665-700) — vs an
+    INDEPENDENT torch/float64 transcription of the same reference math.
+
+    The UNet runs at the real 256px-class latent grid (32x32, widths
+    320/640/1280, CFG batch 2); the VAE is the tiny-width config so the
+    decode stays CPU-tractable (decode-path width parity is covered by
+    test_vae_encoder_decoder_parity).  Identical injected noise/consts on
+    both sides; acceptance is the >35 dB PSNR bar plus a composition
+    max-err bound."""
+    got, want = exact_loop_output, loop_setup["want"]
     err = _maxerr(got, want)
     assert err < 1e-3, f"sd15 pipeline-loop max err {err}"
     peak = float(np.max(np.abs(want))) or 1.0
     db = psnr(got.astype(np.float64), want.astype(np.float64), peak=peak)
     assert db > 35.0, f"sd15 pipeline PSNR {db:.1f} dB"
+
+
+def test_sd15_pipeline_loop_psnr_serving_default(
+    loop_setup, converted, monkeypatch
+):
+    """THE SHIPPING CONFIG at SD1.5 width (VERDICT r3 #2): every serving
+    default at once — int8 UNet convs + int8 VAE-decoder convs + tanh
+    fast_gelu + static-offset flash softmax + Pallas flash / pallas_cs
+    temporal kernels (interpret mode on CPU, same dispatch thresholds and
+    Mosaic-legality gates as the TPU auto path via the _on_tpu patch) —
+    run through the full pipeline loop vs the torch/float64 mirror of the
+    reference math.  >35 dB is the north-star acceptance bar
+    (pipeline_i2v_adapter.py:539-719); previously the int8/kernel gates ran
+    only at tiny widths."""
+    from i2v_adapter_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    orig_flash = A._attention_pallas
+    monkeypatch.setattr(
+        A, "_attention_pallas",
+        lambda q, k, v, rep, scale, interp, sm: orig_flash(
+            q, k, v, rep, scale, True, sm
+        ),
+    )
+    orig_cs = A._temporal_pallas_cs
+    monkeypatch.setattr(
+        A, "_temporal_pallas_cs",
+        lambda q, k, v, h, interp: orig_cs(q, k, v, h, True),
+    )
+    orig_tp = A._temporal_pallas
+    monkeypatch.setattr(
+        A, "_temporal_pallas",
+        lambda q, k, v, h, interp: orig_tp(q, k, v, h, True),
+    )
+
+    serving_unet = SD15.replace(
+        flash_attention=True, fast_gelu=True, flash_static_max=64.0,
+        int8_conv=True,
+    )
+    serving_vae = loop_setup["tiny_vae"].replace(int8_decode=True)
+    got = _jax_pipeline_loop(
+        serving_unet, serving_vae, converted, loop_setup["vae_params"],
+        loop_setup["inputs"],
+    )
+    want = loop_setup["want"]
+    peak = float(np.max(np.abs(want))) or 1.0
+    db = psnr(got.astype(np.float64), want.astype(np.float64), peak=peak)
+    assert db > 35.0, f"sd15 serving-default pipeline PSNR {db:.1f} dB"
+
+
+def test_sd15_pipeline_loop_turbo_deviation(
+    loop_setup, converted, exact_loop_output
+):
+    """Quantify the encoder-cache turbo trade at SD1.5 width (VERDICT r3
+    #3): ``encoder_cache=2`` (every second step reuses the previous step's
+    down-path features) vs the exact loop.  The turbo row in PARITY.md
+    carries the measured bound.  This is a CONTENT-level approximation —
+    the bar here is not the 35 dB rounding bar but a sanity floor (>20 dB
+    at the 2-step schedule's worst-case 500-timestep staleness; the
+    shipping 25-step schedule's gap is ~40 timesteps, so real deviation is
+    strictly smaller) plus structural checks."""
+    got = _jax_pipeline_loop(
+        SD15, loop_setup["tiny_vae"], converted, loop_setup["vae_params"],
+        loop_setup["inputs"], encoder_cache=2,
+    )
+    exact = exact_loop_output
+    assert np.isfinite(got).all()
+    assert got.shape == exact.shape
+    # must actually differ (the cached step is an approximation)...
+    dev = float(np.max(np.abs(got - exact)))
+    assert dev > 0.0
+    peak = float(np.max(np.abs(exact))) or 1.0
+    db = psnr(got.astype(np.float64), exact.astype(np.float64), peak=peak)
+    # ...but stay image-level close even at worst-case staleness
+    assert db > 20.0, f"sd15 turbo deviation PSNR {db:.1f} dB"
+    print(f"sd15 turbo vs exact: {db:.1f} dB (2-step worst-case staleness)")
