@@ -217,7 +217,21 @@ class TransformerBlock(nn.Module):
                     )
                 # First frame of each clip as K/V context; the broadcast
                 # over frames happens inside the fused kernel (kv_repeat).
-                first_frame = norm_h[0 : bf : num_frames]
+                # Reshape-then-slice (not a strided slice) so on a mesh the
+                # frame-sharded eval axis splits cleanly into (clip, frame)
+                # and GSPMD moves only the (B, S, C) slice — a strided
+                # slice of the sharded eval dim made it all-gather the FULL
+                # hidden state per site (measured on the v5e-8 graph);
+                # first_frame_constraint pins the slice clip-sharded.
+                from i2v_adapter_tpu.parallel.spmd import (
+                    first_frame_constraint,
+                )
+
+                b = bf // num_frames
+                first_frame = norm_h.reshape(
+                    (b, num_frames) + norm_h.shape[1:]
+                )[:, 0]
+                first_frame = first_frame_constraint(first_frame)
                 adapter_out = adapter(
                     norm_h, encoder_hidden_states=first_frame,
                     kv_repeat=num_frames,

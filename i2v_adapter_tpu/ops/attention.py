@@ -1161,7 +1161,7 @@ _temporal_pallas_cs.defvjp(_temporal_fwd_cs, _temporal_bwd)
 
 def temporal_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, heads: int,
-    impl: str = "auto",
+    impl: str = "auto", _spmd: bool = True,
 ) -> jnp.ndarray:
     """Frame-axis self-attention on (B, F, S, C) — frames second, spatial
     tokens third (no (B·S, F, C) transpose round-trips like the torch
@@ -1173,8 +1173,36 @@ def temporal_attention(
     VPU streams with S on the lanes (measured several times faster than
     the batched-matmul einsum lowering at 64x64); impl='mxu' keeps the
     einsum form.
+
+    Under an active ``attention_spmd`` mesh context the whole site routes
+    through ``spmd_temporal_attention`` FIRST (token-sharded shard_map —
+    frames local, S over seq — falling back to frame-sharded K/V gathers),
+    and the local body re-enters this dispatcher with ``_spmd=False`` so
+    kernel selection (CS-block Mosaic legality, cs_min, vpu2-vs-mxu) is
+    made on the LOCAL shard shapes, not the global ones.
     """
     b, f, s, c = q.shape
+
+    if _spmd:
+        from i2v_adapter_tpu.parallel.spmd import (
+            current_attention_spmd,
+            spmd_temporal_attention,
+        )
+
+        ctx = current_attention_spmd()
+        if ctx is not None and ctx.mesh.size > 1:
+            out = spmd_temporal_attention(
+                lambda ql, kl, vl, hl: temporal_attention(
+                    ql, kl, vl, heads=hl, impl=impl, _spmd=False
+                ),
+                q, k, v, heads, ctx,
+            )
+            if out is not None:
+                return out
+            # no shard_map layout fits: continue below — the einsum
+            # lowerings partition under GSPMD; the pallas branch guards
+            # itself against bare-Mosaic-on-mesh
+
     d = c // heads
     qh = q.reshape(b, f, s, heads, d)
     kh = k.reshape(b, f, s, heads, d)
@@ -1224,30 +1252,20 @@ def temporal_attention(
     if impl in ("pallas", "pallas_interpret", "pallas_cs", "pallas_cs_interpret"):
         interp = impl.endswith("_interpret")
         cs = impl.startswith("pallas_cs")
-        flash_fn = _temporal_flash_cs if cs else _temporal_flash
-        from i2v_adapter_tpu.parallel.spmd import (
-            current_attention_spmd,
-            spmd_temporal_attention,
-        )
+        if _spmd:
+            from i2v_adapter_tpu.parallel.spmd import current_attention_spmd
 
-        ctx = current_attention_spmd()
-        if ctx is not None:
-            out = spmd_temporal_attention(
-                lambda ql, kl, vl, hl: flash_fn(
-                    ql, kl, vl, heads=hl, interpret=interp
-                ),
-                q, k, v, heads, ctx,
-            )
-            if out is not None:
-                return out
-            if ctx.mesh.size > 1:
-                # same hard-error avoidance as the flash dispatcher: a bare
-                # Mosaic kernel cannot be GSPMD-partitioned — use the
-                # einsum lowering, which partitions fine (concrete impl, not
-                # 'xla', so an I2V_TEMPORAL_IMPL force can't re-enter here)
+            ctx = current_attention_spmd()
+            if ctx is not None and ctx.mesh.size > 1:
+                # the top-of-function shard_map wrap found no legal layout
+                # (_spmd=False re-entries never reach here): a bare Mosaic
+                # kernel cannot be GSPMD-partitioned — hard error on real
+                # TPU graphs — so use the einsum lowering, which partitions
+                # fine (concrete impl, not 'xla', so an I2V_TEMPORAL_IMPL
+                # force can't re-enter here)
                 return temporal_attention(
                     q, k, v, heads=heads,
-                    impl="vpu2" if s >= 2048 else "mxu",
+                    impl="vpu2" if s >= 2048 else "mxu", _spmd=False,
                 )
         if cs:
             return _temporal_pallas_cs(q, k, v, heads, interp)

@@ -386,6 +386,19 @@ def _fmt_case(res, meta, gbps: float = 50.0) -> dict:
         }
         for o in sorted(res.ops, key=lambda o: -o.out_bytes)[:40]
     ]
+    # complete per-(kind, shape) aggregation — the top-40 list truncates
+    # exactly when something is wrong (hundreds of mid-size gathers), so
+    # diagnosis needs the full histogram
+    groups: dict = {}
+    for o in res.ops:
+        key = f"{o.kind} {o.shape[:70]}"
+        g = groups.setdefault(key, {"count": 0, "wire_per_dev": 0})
+        g["count"] += 1
+        g["wire_per_dev"] += o.wire_bytes_per_device()
+    by_shape = [
+        {"op": k, **v}
+        for k, v in sorted(groups.items(), key=lambda kv: -kv[1]["wire_per_dev"])
+    ]
     return {
         "meta": meta,
         "summary": res.summary,
@@ -395,6 +408,7 @@ def _fmt_case(res, meta, gbps: float = 50.0) -> dict:
         ),
         "memory": res.memory,
         "top_ops": ops_brief,
+        "by_shape": by_shape,
     }
 
 

@@ -153,6 +153,15 @@ def test_tiny_infer_audit_end_to_end():
     assert res.wire_gb() > 0
     assert res.memory.get("argument_size_in_bytes", 0) > 0
     assert meta["mesh"] == {"data": 2, "fsdp": 1, "tensor": 1, "seq": 2}
+    # the token-sharded temporal layout (Ulysses reshard) + the first-frame
+    # slice constraint must keep the serving step GATHER-FREE: a regression
+    # to frame-sharded K/V gathers or full-hidden-state slice gathers shows
+    # up here as all-gather wire (measured 4.77 GB/device/step at real
+    # width before the fix, 0 after)
+    ag = res.summary["by_kind"].get("all-gather", {})
+    assert ag.get("wire_bytes_per_device", 0) == 0, (
+        f"serving step regressed to all-gathers: {ag}"
+    )
 
 
 @pytest.mark.slow
@@ -177,10 +186,20 @@ def test_real_width_serving_comm_within_projection():
     )
     assert res.summary["loop_resident_ops"] == 0
     wire_gb = res.wire_gb()
-    assert wire_gb < 3.4, (
+    # Ulysses layout (token-sharded temporal modules + first-frame slice
+    # constraint): the compiled TPU-topology graph measured 0.72 MB wire at
+    # tiny width and eliminated every all-gather; at real width the step
+    # must stay far under the 3.4 GB viability envelope — 0.25 GB/device
+    # (~5 ms at 50 GB/s) keeps ~3 orders of headroom against the <4 s/clip
+    # budget while catching any regression to gather-based resharding
+    # (which measured 4.77 GB/device/step)
+    assert wire_gb < 0.25, (
         f"serving step comm {wire_gb:.2f} GB/device blows the <4 s/clip "
         f"projection budget (see BASELINE.md multi-chip table)"
     )
-    # the temporal K/V all-gathers dominate: sanity-check they exist
     ag = res.summary["by_kind"].get("all-gather", {})
-    assert ag.get("out_bytes", 0) > 1e8
+    assert ag.get("wire_bytes_per_device", 0) == 0, (
+        f"serving step regressed to all-gathers: {ag}"
+    )
+    # the temporal reshard rides all-to-alls now
+    assert res.summary["by_kind"].get("all-to-all", {}).get("count", 0) > 0
