@@ -407,12 +407,23 @@ class TrainConfig(_ConfigBase):
     ema_decay: float = 0.9999
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # ZeRO placement of the NO-GRADIENT state over the fsdp axis: 'shard'
+    # fsdp-shards every large leaf (frozen UNet + encoder towers included);
+    # 'replicate' keeps the frozen partitions replicated and shards only the
+    # gradient-bearing state (trainable/opt/EMA).  The compiled-graph audit
+    # (BASELINE.md multi-chip table) shows 'shard' paying 15.2 GB/device/step
+    # of frozen-param re-gathers on the 256px train case — 'replicate' trades
+    # ~2 GB/device of HBM for deleting that wire.  Applies only when
+    # mesh.fsdp > 1.
+    fsdp_frozen: str = "shard"  # "shard" | "replicate"
     checkpoint_epoch: int = 2
     checkpoints_total_limit: Optional[int] = None
 
     def __post_init__(self):
         if self.train_mode not in ("i2v", "t2i"):
             raise ValueError(f"bad train_mode: {self.train_mode}")
+        if self.fsdp_frozen not in ("shard", "replicate"):
+            raise ValueError(f"bad fsdp_frozen: {self.fsdp_frozen}")
         if self.first_frame_mode not in ("scaled", "exact"):
             raise ValueError(f"bad first_frame_mode: {self.first_frame_mode}")
         total = self.uncond_prob_t + self.uncond_prob_i + self.uncond_prob_ti

@@ -113,7 +113,17 @@ def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2**16):
     )
 
 
-def train_state_shardings(state, mesh: Mesh, min_size: int = 2**16):
+# TrainState fields that hold no-gradient weights (the frozen UNet partition
+# and the frozen encoder towers) — see training/state.py::TrainState.
+_FROZEN_STATE_FIELDS = ("frozen", "vae", "text_encoder", "image_encoder")
+
+
+def train_state_shardings(
+    state,
+    mesh: Mesh,
+    min_size: int = 2**16,
+    frozen_replicated: bool = False,
+):
     """TrainState-shaped pytree of NamedShardings: every array leaf —
     trainable, frozen, EMA, optimizer state, frozen encoders — follows the
     fsdp_spec rule (large divisible leaves sharded over the ``fsdp`` axis,
@@ -121,6 +131,20 @@ def train_state_shardings(state, mesh: Mesh, min_size: int = 2**16):
     to the whole training state, not just scaffolding (VERDICT r1 #4):
     ``jax.device_put(state, train_state_shardings(state, mesh))`` materializes
     the shards; passing the same tree as jit in/out shardings keeps them.
+
+    ``frozen_replicated=True`` keeps the no-gradient partitions (frozen UNet
+    weights + encoder towers, ``_FROZEN_STATE_FIELDS``) fully replicated and
+    fsdp-shards only the gradient-bearing state (trainable params, optimizer
+    moments, EMA).  Rationale: the compiled-graph audit of the default
+    everything-sharded layout (MULTICHIP_AUDIT_TPU_TRAIN.json, BASELINE.md
+    multi-chip table) shows GSPMD re-all-gathering the frozen shards at
+    every use — including each remat recompute — for 15.2 GB/device/step of
+    all-gather wire on the 256px train case, several times the step's
+    compute time at usable ICI rates.  Replicating the (bf16, ~4.4 GB)
+    frozen set deletes those gathers wholesale while the optimizer sharding
+    — the part that actually grows with trainable size — stays ZeRO.  Use
+    when per-device HBM fits the replicated frozen set (256px/16f adapter
+    and motion finetunes); keep sharding for 512px motion finetune scale.
 
     When the mesh carries a ``tensor`` axis > 1, attention projections
     (to_q/to_k/to_v/to_out and the IP variants) instead follow the
@@ -136,13 +160,16 @@ def train_state_shardings(state, mesh: Mesh, min_size: int = 2**16):
 
     def leaf(path, p):
         shape = tuple(getattr(p, "shape", ()))
+        keys = tuple(
+            str(getattr(k, "name", getattr(k, "key", getattr(k, "idx", k))))
+            for k in path
+        )
         if tensor_size > 1:
-            keys = tuple(
-                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
-            )
             spec = _tp_spec(keys, shape, tensor_size, heads=0)
             if spec != P():
                 return NamedSharding(mesh, spec)
+        if frozen_replicated and keys and keys[0] in _FROZEN_STATE_FIELDS:
+            return NamedSharding(mesh, P())
         return NamedSharding(mesh, fsdp_spec(shape, fsdp_size, min_size))
 
     return jax.tree_util.tree_map_with_path(leaf, state)

@@ -266,9 +266,14 @@ def build_train_case(
     motion: bool = False,
     optimizer: str = "adamw",
     platform: str = "cpu",
+    fsdp_frozen: str = "shard",
+    min_size: int = 2**16,
 ):
     """Audit one training step over the mesh (batch over data x fsdp,
-    frames over seq, ZeRO state sharding over fsdp)."""
+    frames over seq, ZeRO state sharding over fsdp; ``fsdp_frozen=
+    'replicate'`` keeps the no-gradient partitions replicated; ``min_size``
+    is the fsdp sharding threshold in elements — lower it for tiny-width
+    audits whose leaves are all below the production default)."""
     import jax
     import jax.numpy as jnp
 
@@ -309,6 +314,7 @@ def build_train_case(
         gradient_checkpointing=True, freeze_dtype="bfloat16",
         update_motion_modules=motion,
         optimizer=OptimizerConfig(optimizer=optimizer),
+        fsdp_frozen=fsdp_frozen,
     )
     rng = jax.random.PRNGKey(0)
     unet = VideoUNet(mc.unet)
@@ -332,7 +338,10 @@ def build_train_case(
         return create_train_state(unet_p, tc, 100, vae_p, text_p, img_p)[0]
 
     state_abs = jax.eval_shape(make_state)
-    shardings = train_state_shardings(state_abs, mesh)
+    shardings = train_state_shardings(
+        state_abs, mesh, min_size=min_size,
+        frozen_replicated=fsdp_frozen == "replicate",
+    )
     tx = make_optimizer(tc, 100)
     step_fn = make_train_step(mc, tc, tx, mesh=mesh, state_shardings=shardings)
 
@@ -429,10 +438,27 @@ CASES = {
     "train_v5e8": lambda tiny, pf: build_train_case(
         {"data": 2, "fsdp": 2, "tensor": 1, "seq": 2}, tiny=tiny, platform=pf
     ),
+    # same mesh with the frozen partitions replicated (fsdp_frozen=
+    # 'replicate'): the audited answer to train_v5e8's 15.2 GB/device of
+    # frozen-param re-gathers
+    "train_v5e8_frozrep": lambda tiny, pf: build_train_case(
+        {"data": 2, "fsdp": 2, "tensor": 1, "seq": 2}, tiny=tiny, platform=pf,
+        fsdp_frozen="replicate",
+    ),
     # 512px motion finetune: single-chip AOT-proven infeasible; the claimed
     # multi-chip shape is fsdp (ZeRO moments sharded) x seq
     "train_motion_512_fsdp": lambda tiny, pf: build_train_case(
         {"data": 1, "fsdp": 4, "tensor": 1, "seq": 2},
+        res=32 if tiny else 512, per_device_batch=1, tiny=tiny, motion=True,
+        platform=pf,
+    ),
+    # ... which the round-4 audit showed does NOT fit HBM (15.78 GiB peak >
+    # ~14.7 usable: per-device activations are b*f/8 frame-evals on ANY
+    # 8-device factorization, so reshaping the mesh alone cannot help).
+    # The viable shape halves the microbatch (global 2 + 2-step grad
+    # accumulation keeps the effective batch) and spreads frames seq=4:
+    "train_motion_512_v2": lambda tiny, pf: build_train_case(
+        {"data": 1, "fsdp": 2, "tensor": 1, "seq": 4},
         res=32 if tiny else 512, per_device_batch=1, tiny=tiny, motion=True,
         platform=pf,
     ),

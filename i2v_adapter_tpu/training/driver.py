@@ -128,6 +128,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--seq_parallel", type=int, default=1,
                    help="seq axis size: video frames shard over it "
                         "(sequence parallelism; num_frames must divide)")
+    p.add_argument("--fsdp_frozen", type=str, default="shard",
+                   choices=["shard", "replicate"],
+                   help="placement of the no-gradient state on the fsdp "
+                        "axis: 'shard' = ZeRO-shard everything (default); "
+                        "'replicate' keeps frozen UNet/encoder weights "
+                        "replicated, deleting their per-use all-gathers "
+                        "(~15 GB/device/step audited at 256px) at the cost "
+                        "of ~2 GB/device HBM")
     p.add_argument("--validation_epoch", type=int, default=0,
                    help="sample eval GIFs every N epochs (0 = off)")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -209,6 +217,7 @@ def args_to_train_config(args) -> TrainConfig:
             scale_lr=args.scale_lr,
         ),
         mesh=MeshConfig(data=-1, fsdp=args.data_fsdp, seq=args.seq_parallel),
+        fsdp_frozen=getattr(args, "fsdp_frozen", "shard"),
         checkpoint_epoch=args.checkpoint_epoch,
         checkpoints_total_limit=args.checkpoints_total_limit,
     )
@@ -329,7 +338,9 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         # sharded over the fsdp axis, the rest replicated
         from i2v_adapter_tpu.parallel.mesh import train_state_shardings
 
-        state_shardings = train_state_shardings(state, mesh)
+        state_shardings = train_state_shardings(
+            state, mesh, frozen_replicated=tc.fsdp_frozen == "replicate"
+        )
         state = jax.device_put(state, state_shardings)
     step_fn = make_train_step(
         model_config, tc, tx, mesh=mesh, state_shardings=state_shardings
@@ -607,7 +618,9 @@ def bench_scaling(args, model_config: Optional[I2VModelConfig] = None) -> list:
             text_params=text_params, image_params=img_params,
         )
         tx = make_optimizer(tc, 100)
-        shardings = train_state_shardings(state, mesh)
+        shardings = train_state_shardings(
+            state, mesh, frozen_replicated=tc.fsdp_frozen == "replicate"
+        )
         state = jax.device_put(state, shardings)
         step_fn = make_train_step(mc, tc, tx, mesh=mesh,
                                   state_shardings=shardings)

@@ -217,6 +217,73 @@ def test_train_step_on_cpu_mesh(all_params):
     assert still_split
 
 
+def test_train_step_frozen_replicated(all_params):
+    """``fsdp_frozen='replicate'``: the no-gradient partitions (frozen UNet
+    weights + encoder towers) stay fully replicated — deleting the per-use
+    frozen-param all-gathers the compiled-graph audit measured at 15.2
+    GB/device/step (BASELINE.md multi-chip table) — while the gradient-
+    bearing state still ZeRO-shards, and the step's numerics are unchanged
+    vs a single-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    unet_params, vae_params, text_params, img_params = all_params
+    tc = TrainConfig(
+        train_batch_size=8, num_frames=F, resolution=RES,
+        gradient_accumulation_steps=1, mixed_precision="none",
+        fsdp_frozen="replicate", mesh=MeshConfig(data=-1, fsdp=2),
+    )
+    mesh = create_mesh(tc.mesh)
+    state, _ = create_train_state(
+        unet_params, tc, 10, vae_params, text_params, img_params
+    )
+    tx = make_optimizer(tc, 10)
+
+    ref_step = make_train_step(MC, tc, tx, donate=False)
+    r = np.random.default_rng(3)
+    batch = {
+        "pixel_values": r.standard_normal((8, F, RES, RES, 3)).astype(np.float32),
+        "text_ids": r.integers(0, 100, (8, 8)).astype(np.int32),
+        "uncond_ids": np.zeros((8, 8), np.int32),
+        "clip_image": r.standard_normal((8, IMG, IMG, 3)).astype(np.float32),
+    }
+    _, ref_metrics = ref_step(state, batch, jax.random.PRNGKey(0))
+
+    from i2v_adapter_tpu.parallel.mesh import train_state_shardings
+
+    shardings = train_state_shardings(
+        state, mesh, min_size=256, frozen_replicated=True
+    )
+    sharded_state = jax.device_put(state, shardings)
+    # every frozen/encoder leaf replicated (full shard shape) ...
+    for sub in (sharded_state.frozen, sharded_state.vae,
+                sharded_state.text_encoder, sharded_state.image_encoder):
+        for p in jax.tree.leaves(sub):
+            assert p.addressable_shards[0].data.shape == p.shape
+    # ... while the gradient-bearing state still ZeRO-shards
+    grad_bearing = list(jax.tree.leaves(sharded_state.trainable)) + list(
+        jax.tree.leaves(sharded_state.opt_state)
+    )
+    assert any(
+        p.addressable_shards[0].data.shape != p.shape for p in grad_bearing
+    ), "replicate mode must still shard the trainable/opt state"
+
+    step_fn = make_train_step(
+        MC, tc, tx, mesh=mesh, donate=False, state_shardings=shardings
+    )
+    with mesh:
+        dbatch = {
+            k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+            for k, v in batch.items()
+        }
+        state2, metrics = step_fn(sharded_state, dbatch, jax.random.PRNGKey(0))
+    assert float(metrics["loss"]) == pytest.approx(
+        float(ref_metrics["loss"]), rel=1e-4
+    )
+    # out_shardings keep the frozen partition replicated across steps
+    for p in jax.tree.leaves(state2.frozen):
+        assert p.addressable_shards[0].data.shape == p.shape
+
+
 def test_grad_accumulation_multisteps(all_params):
     unet_params, vae_params, text_params, img_params = all_params
     tc = TrainConfig(
