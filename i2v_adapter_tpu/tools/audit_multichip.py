@@ -445,6 +445,14 @@ CASES = {
         {"data": 2, "fsdp": 2, "tensor": 1, "seq": 2}, tiny=tiny, platform=pf,
         fsdp_frozen="replicate",
     ),
+    # the dryrun's tensor-axis train mesh (train_tp) at REAL width: closes
+    # the round-4 honesty note that tensor>1 training was audited only at
+    # tiny width on the CPU-sim mesh — Megatron column/row rules on the
+    # adapter projections share param layouts with the audited inference
+    # tensor path, but the gradient psums only show up here
+    "train_v5e8_tp": lambda tiny, pf: build_train_case(
+        {"data": 2, "fsdp": 1, "tensor": 2, "seq": 2}, tiny=tiny, platform=pf
+    ),
     # 512px motion finetune: single-chip AOT-proven infeasible; the claimed
     # multi-chip shape is fsdp (ZeRO moments sharded) x seq
     "train_motion_512_fsdp": lambda tiny, pf: build_train_case(
