@@ -107,17 +107,28 @@ def find_latest_epoch(task_dir: str) -> Optional[int]:
 
 
 class TrainCheckpointer:
-    """Orbax-backed save/restore of the full TrainState with retention."""
+    """Orbax-backed save/restore of the full TrainState with retention.
 
-    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+    ``async_save=True`` overlaps the disk write with training: ``save``
+    returns once Orbax has snapshotted the arrays (device->host copy) and
+    the serialization runs on a background thread — the standard
+    large-scale-TPU pattern, where a multi-GB optimizer-state write would
+    otherwise stall the step loop.  Orbax serializes concurrent saves
+    internally (a second ``save`` waits for the in-flight one); call
+    ``wait()`` before reading the directory or exiting."""
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None,
+                 async_save: bool = False):
         import orbax.checkpoint as ocp
 
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 
@@ -125,6 +136,11 @@ class TrainCheckpointer:
         import orbax.checkpoint as ocp
 
         self.manager.save(step, args=ocp.args.StandardSave(state))
+        if not self.async_save:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
         self.manager.wait_until_finished()
 
     def restore(self, state_template, step: Optional[int] = None):

@@ -117,6 +117,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "(params+optimizer+step) every N steps (0 = off); "
                         "the accelerator.save_state analogue")
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--async_checkpoint", action="store_true",
+                   help="overlap Orbax train-state writes with training: "
+                        "save() returns after the device->host snapshot "
+                        "and the serialization runs on a background "
+                        "thread (Orbax async checkpointing)")
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help="adapter epoch dir, or 'latest' to restore the "
                         "newest full Orbax train-state checkpoint")
@@ -305,6 +310,7 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
         step_ckpt = ckpt.TrainCheckpointer(
             os.path.join(task_dir, "state"),
             max_to_keep=tc.checkpoints_total_limit,
+            async_save=bool(getattr(args, "async_checkpoint", False)),
         )
     if resume_full and step_ckpt is not None:
         restored, at_step = step_ckpt.restore(state)
@@ -437,7 +443,15 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
                 and args.checkpointing_steps
                 and global_step % args.checkpointing_steps == 0
             ):
-                step_ckpt.save(global_step, jax.tree.map(np.asarray, state))
+                # async mode hands Orbax the live (possibly sharded) jax
+                # arrays — it snapshots device->host itself and writes on
+                # a background thread; the sync path keeps the explicit
+                # host materialization
+                step_ckpt.save(
+                    global_step,
+                    state if step_ckpt.async_save
+                    else jax.tree.map(np.asarray, state),
+                )
             if tc.max_train_steps and global_step >= tc.max_train_steps:
                 break
         logger.info(
@@ -497,6 +511,9 @@ def train(args, model_config: Optional[I2VModelConfig] = None) -> dict:
             final_params, model_config,
             os.path.join(task_dir, "pipeline"), tc,
         )
+    if step_ckpt is not None:
+        # commit any in-flight async save before declaring training done
+        step_ckpt.wait()
     metrics_log.finish()
     return {"global_step": global_step, "last_loss": epoch_loss / max(n_steps, 1)}
 

@@ -89,6 +89,32 @@ def test_orbax_train_state_roundtrip(unet_params, tmp_path):
     )
 
 
+def test_orbax_async_save_roundtrip(unet_params, tmp_path):
+    """``async_save=True``: save() returns without blocking on the disk
+    write; overlapping saves serialize inside Orbax; wait() commits.  The
+    restored tree must match exactly — async moves the write off the step
+    loop, it must not change what lands on disk."""
+    tc = TrainConfig()
+    state, _ = create_train_state(unet_params, tc, 10)
+    mgr = ckpt.TrainCheckpointer(
+        str(tmp_path / "orbax_async"), max_to_keep=2, async_save=True
+    )
+    mgr.save(0, state)
+    bumped = state.replace(
+        step=state.step + 5,
+        trainable=jax.tree.map(lambda x: x + 1.0, state.trainable),
+    )
+    mgr.save(5, bumped)  # overlaps the in-flight step-0 write
+    mgr.wait()
+    assert mgr.latest_step() == 5
+    restored, step = mgr.restore(jax.tree.map(np.zeros_like, bumped))
+    assert step == 5
+    for k, got in zip(
+        jax.tree.leaves(bumped.trainable), jax.tree.leaves(restored.trainable)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(k))
+
+
 def test_pipeline_export_roundtrip(unet_params, tmp_path):
     params = {"unet": jax.tree.map(np.asarray, unet_params)}
     ckpt.export_pipeline(params, MC, str(tmp_path / "pipe"))
