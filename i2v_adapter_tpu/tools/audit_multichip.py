@@ -470,6 +470,15 @@ CASES = {
         res=32 if tiny else 512, per_device_batch=1, tiny=tiny, motion=True,
         platform=pf,
     ),
+    # ... v2 audited round 5: peak 12.84 GiB — FITS — but 19.1 GB/device of
+    # wire (12.0 all-gather: the default ZeRO layout re-gathers the frozen
+    # partitions per use).  This variant asks whether fsdp_frozen=replicate
+    # trades that wire for HBM within budget at 512px
+    "train_motion_512_v2_frozrep": lambda tiny, pf: build_train_case(
+        {"data": 1, "fsdp": 2, "tensor": 1, "seq": 4},
+        res=32 if tiny else 512, per_device_batch=1, tiny=tiny, motion=True,
+        platform=pf, fsdp_frozen="replicate",
+    ),
     # config 5: 64f/768px stepwise step over data x seq (chunk 1 for the
     # audit: chunking splits evals inside a lax.map whose body would hide
     # the collectives from static counting; comm volume is chunk-invariant)
