@@ -241,6 +241,32 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    if os.environ.get("BENCH_CFG_CUTOFF"):
+        # opt-in adaptive guidance: late steps skip the uncond UNet eval
+        # (cfg_cutoff = leading fraction of steps with full CFG).  NOT the
+        # headline metric — content-level approximation like turbo.
+        cut = float(os.environ.get("BENCH_CFG_CUTOFF"))
+        fn_c = pipe._sampler(
+            batch, frames, height, width, steps,
+            0.9, 7.5, True, True, 0, False, 1, 1, cut,
+        )
+        t0 = time.time()
+        out = fn_c(params, text_ids, cond, clip_img, key)
+        out.block_until_ready()
+        print(f"[bench] cfg_cutoff={cut} compile+run: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        tt = []
+        for i in range(3):
+            t0 = time.time()
+            out = fn_c(params, text_ids, cond, clip_img, jax.random.PRNGKey(i))
+            out.block_until_ready()
+            tt.append(time.time() - t0)
+        print(
+            f"[bench] cfg_cutoff={cut} runs: {[f'{t:.3f}' for t in tt]}"
+            f" p50 {float(np.median(tt)):.4f}s vs exact {p50:.4f}s",
+            file=sys.stderr,
+        )
+
     if os.environ.get("BENCH_CFG5"):
         # config 5 (64-frame 768px): temporal tiling + stepwise dispatch.
         # BENCH_CFG5_TURBO=1 adds the per-window encoder-cache A/B (round

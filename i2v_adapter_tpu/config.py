@@ -304,6 +304,17 @@ class PipelineConfig(_ConfigBase):
     # host-driven stepwise loop — bit-identical); no temporal tiling, no
     # UNet chunking (validated at call time).
     encoder_cache: int = 1
+    # Opt-in adaptive-guidance serving approximation (early CFG
+    # termination, the "adaptive guidance" family): the leading
+    # ``cfg_cutoff`` fraction of denoise steps run full CFG (two UNet
+    # evals); the remaining late steps run the conditional branch only
+    # (guidance off — one eval), where the two branches have largely
+    # converged.  1.0 (default) = off.  Like encoder_cache this changes
+    # CONTENT, not just rounding, so it never defaults on.  Works with
+    # both dispatch modes; not composed with encoder_cache (validated at
+    # call time).  cfg_cutoff=0.0 degenerates to guidance_scale=1.0
+    # semantics (equivalence-tested).
+    cfg_cutoff: float = 1.0
     # Temporal tiling for clips longer than the motion-module positional cap
     # (windowed denoising with overlap blending; see pipelines/tiling.py).
     temporal_window: int = 16
@@ -314,6 +325,10 @@ class PipelineConfig(_ConfigBase):
             raise ValueError(
                 "frame_similarity_sample_ratio must be in (0, 1], got "
                 f"{self.frame_similarity_sample_ratio}"
+            )
+        if not (0.0 <= self.cfg_cutoff <= 1.0):
+            raise ValueError(
+                f"cfg_cutoff must be in [0, 1], got {self.cfg_cutoff}"
             )
 
 

@@ -66,6 +66,13 @@ def parse_args(argv=None):
         "encoder propagation, arXiv:2312.09608) — a content-level "
         "approximation, off by default",
     )
+    p.add_argument(
+        "--cfg_cutoff", type=float, default=1.0,
+        help="opt-in adaptive guidance: leading fraction of denoise steps "
+        "that run full CFG; the rest run the conditional branch only "
+        "(one UNet eval instead of two) — a content-level approximation, "
+        "1.0 (off) by default; not composable with --encoder_cache 2",
+    )
     return p.parse_args(argv)
 
 
@@ -133,6 +140,7 @@ def main(argv=None):
             seed=args.seed + i,
             dispatch=args.dispatch,
             encoder_cache=args.encoder_cache,
+            cfg_cutoff=args.cfg_cutoff,
         )
         out = pipe.export_gifs(
             video, os.path.join(args.output_dir, f"{args.task_name}_{i}"),

@@ -319,6 +319,7 @@ class I2VAdapterPipeline:
         vae_tiling: bool = False,
         unet_chunk: int = 1,
         encoder_cache: int = 1,
+        cfg_cutoff: float = 1.0,
     ):
         """Cached, jitted clip-generation function for one shape bucket
         (the 'bucketed jit shapes' serving strategy).  The cache is an
@@ -328,7 +329,7 @@ class I2VAdapterPipeline:
         key = (
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
-            unet_chunk, encoder_cache, getattr(self, "mesh", None),
+            unet_chunk, encoder_cache, cfg_cutoff, getattr(self, "mesh", None),
         )
         # setdefault-style lazy init so partially-constructed pipelines
         # (e.g. bench.py's __new__ path) work too
@@ -344,6 +345,7 @@ class I2VAdapterPipeline:
                 use_cfg=use_cfg, has_condition=has_condition,
                 decode_slice=decode_slice, vae_tiling=vae_tiling,
                 unet_chunk=unet_chunk, encoder_cache=encoder_cache,
+                cfg_cutoff=cfg_cutoff,
             )
         return cache[key]
 
@@ -783,6 +785,96 @@ class I2VAdapterPipeline:
                 noise_pred.astype(jnp.float32), latents, step_key, t, tp
             )
 
+        # ---- cond-only step (opt-in `cfg_cutoff` adaptive guidance:
+        # late denoise steps skip the uncond branch — one UNet eval
+        # instead of two — where the CFG halves have converged).  A
+        # separate closure, like the turbo pair above, so the exact
+        # step_fn stays byte-identical; slices the conditional halves out
+        # of the SAME CFG-doubled consts prep_fn produced, so one prep
+        # serves both step kinds. ----
+        def step_cond_fn(params, consts, carry, t, tp):
+            cond_latents, text_states, image_embeds = consts
+            if use_cfg:
+                # consts are [uncond; cond]-stacked along axis 0
+                text_states = text_states[batch:]
+                if image_embeds is not None:
+                    image_embeds = image_embeds[batch:]
+            latents, step_key = carry
+            if has_condition:
+                latents = latents.at[:, 0].set(
+                    cond_latents.astype(latents.dtype)
+                )
+            model_in = shard_evals(latents)
+
+            def unet_call_c(x):
+                return self.unet.apply(
+                    params["unet"],
+                    x.astype(self.dtype),
+                    jnp.full((x.shape[0],), t),
+                    text_states,
+                    image_embeds,
+                    enable_cross_frame_attn=has_condition,
+                ).astype(jnp.float32)
+
+            def chunked_c(x):
+                # per-chunk lax.map like chunked_unet_call; the cond-only
+                # batch is half the CFG one, so a chunk tuned for 2B may
+                # not divide B — fall back to one eval then
+                bsz = x.shape[0]
+                if unet_chunk <= 1 or bsz % unet_chunk != 0:
+                    return unet_call_c(x)
+                per = bsz // unet_chunk
+
+                def one(args):
+                    xc, tsc, iec = args
+                    return self.unet.apply(
+                        params["unet"],
+                        xc.astype(self.dtype),
+                        jnp.full((xc.shape[0],), t),
+                        tsc,
+                        iec,
+                        enable_cross_frame_attn=has_condition,
+                    ).astype(jnp.float32)
+
+                chunk = lambda a: (
+                    None if a is None
+                    else a.reshape((unet_chunk, per) + a.shape[1:])
+                )
+                out = jax.lax.map(
+                    one,
+                    (chunk(x), chunk(text_states), chunk(image_embeds)),
+                )
+                return out.reshape((bsz,) + out.shape[2:])
+
+            if use_tiling:
+                from i2v_adapter_tpu.pipelines.tiling import tiled_unet_call
+
+                window = min(
+                    pcfg.temporal_window, cfg.unet.motion_max_seq_length - 1
+                )
+                stride = max(1, min(pcfg.temporal_stride, window - 1))
+                noise_pred = tiled_unet_call(
+                    lambda x, anchored: chunked_c(x),
+                    model_in,
+                    window=window,
+                    stride=stride,
+                )
+            else:
+                noise_pred = chunked_c(model_in)
+            # no CFG combine: guidance is off for this step
+            if eta > 0.0:
+                step_key, nkey = jax.random.split(step_key)
+                step_noise = jax.random.normal(
+                    nkey, latents.shape, dtype=jnp.float32
+                )
+            else:
+                step_noise = None
+            latents = ddim_step(
+                schedule, noise_pred, jnp.full((batch,), t),
+                jnp.full((batch,), tp), latents, eta=eta, noise=step_noise,
+            )
+            return (shard_frames(latents), step_key)
+
         def decode_fn(params, consts, latents):
             cond_latents = consts[0]
             if has_condition:
@@ -819,7 +911,7 @@ class I2VAdapterPipeline:
             return video.astype(jnp.float32)
 
         return prep_fn, step_fn, decode_fn, ts, prev, (
-            step_full_fn, step_cached_fn,
+            step_full_fn, step_cached_fn, step_cond_fn,
         )
 
     def _build_sampler(
@@ -837,6 +929,7 @@ class I2VAdapterPipeline:
         vae_tiling: bool = False,
         unet_chunk: int = 1,
         encoder_cache: int = 1,
+        cfg_cutoff: float = 1.0,
     ):
         """Fused sampler: prep + denoise scan + decode as ONE jit — no host
         round-trips inside a clip generation (the fast path).
@@ -844,13 +937,22 @@ class I2VAdapterPipeline:
         ``encoder_cache=2`` scans over step PAIRS: a full eval that saves
         the UNet down-path features, then a second step reusing them
         (Faster Diffusion encoder propagation) — odd trailing step runs
-        full."""
+        full.
+
+        ``cfg_cutoff < 1.0`` splits the schedule into a leading CFG scan
+        and a trailing cond-only scan (adaptive guidance — one UNet eval
+        per late step); not composed with encoder_cache (call-time
+        validated)."""
         prep_fn, step_fn, decode_fn, ts, prev, pair_fns = self._build_parts(
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
             unet_chunk,
         )
         mesh = getattr(self, "mesh", None)
+        n_cfg = (
+            len(ts) if (not use_cfg or cfg_cutoff >= 1.0)
+            else int(round(cfg_cutoff * len(ts)))
+        )
 
         def sample_fn(params, text_ids, cond_image, clip_image, rng,
                       init_latents=None):
@@ -859,7 +961,7 @@ class I2VAdapterPipeline:
             )
 
             if encoder_cache > 1:
-                step_full_fn, step_cached_fn = pair_fns
+                step_full_fn, step_cached_fn = pair_fns[0], pair_fns[1]
                 n = len(ts)
                 n2 = n - (n % 2)
                 ts2 = jnp.asarray(ts[:n2]).reshape(-1, 2)
@@ -881,6 +983,28 @@ class I2VAdapterPipeline:
                         params, consts, carry,
                         jnp.asarray(ts[-1]), jnp.asarray(prev[-1]),
                     )
+                latents, _ = carry
+            elif n_cfg < len(ts):
+                # adaptive guidance: leading CFG scan, trailing cond-only
+                # scan (one UNet eval per step where the branches have
+                # converged); either segment may be empty
+                step_cond = pair_fns[2]
+
+                def body(c, t_pair):
+                    return step_fn(params, consts, c, t_pair[0], t_pair[1]), None
+
+                def body_cond(c, t_pair):
+                    return step_cond(params, consts, c, t_pair[0], t_pair[1]), None
+
+                if n_cfg > 0:
+                    carry, _ = jax.lax.scan(
+                        body, carry,
+                        (jnp.asarray(ts[:n_cfg]), jnp.asarray(prev[:n_cfg])),
+                    )
+                carry, _ = jax.lax.scan(
+                    body_cond, carry,
+                    (jnp.asarray(ts[n_cfg:]), jnp.asarray(prev[n_cfg:])),
+                )
                 latents, _ = carry
             else:
                 def body(c, t_pair):
@@ -925,6 +1049,7 @@ class I2VAdapterPipeline:
         unet_chunk: int = 1,
         decode: bool = True,
         encoder_cache: int = 1,
+        cfg_cutoff: float = 1.0,
     ):
         """Step-wise sampler: prep / one-denoise-step / decode as THREE
         jits driven by a host loop, so no single device dispatch runs for
@@ -953,7 +1078,7 @@ class I2VAdapterPipeline:
             batch, num_frames, height, width, num_inference_steps, strength,
             guidance_scale, use_cfg, has_condition, decode_slice, vae_tiling,
             unet_chunk, getattr(self, "mesh", None), "stepwise", decode,
-            encoder_cache,
+            encoder_cache, cfg_cutoff,
         )
         cache = self.__dict__.setdefault("_sampler_cache", {})
         if key in cache:
@@ -987,6 +1112,7 @@ class I2VAdapterPipeline:
             if encoder_cache > 1:
                 step_full_jit = jax.jit(_wrap(pair_fns[0]))
                 step_cached_jit = jax.jit(_wrap(pair_fns[1]))
+            step_cond_jit = jax.jit(_wrap(pair_fns[2]))
         else:
             prep_jit = jax.jit(prep_fn)
             step_jit = jax.jit(step_fn)
@@ -994,7 +1120,14 @@ class I2VAdapterPipeline:
             if encoder_cache > 1:
                 step_full_jit = jax.jit(pair_fns[0])
                 step_cached_jit = jax.jit(pair_fns[1])
+            step_cond_jit = jax.jit(pair_fns[2])
         ts_np, prev_np = np.asarray(ts), np.asarray(prev)
+        # adaptive guidance: steps >= n_cfg run the cond-only part (jitted
+        # lazily — never traced when cfg_cutoff is off)
+        n_cfg = (
+            len(ts_np) if (not use_cfg or cfg_cutoff >= 1.0)
+            else int(round(cfg_cutoff * len(ts_np)))
+        )
 
         def run(params, text_ids, cond_image, clip_image, rng,
                 init_latents=None, callback=None, callback_steps=1):
@@ -1037,7 +1170,8 @@ class I2VAdapterPipeline:
                     after_step(i)
             else:
                 for i in range(len(ts_np)):
-                    carry = step_jit(
+                    fn_i = step_jit if i < n_cfg else step_cond_jit
+                    carry = fn_i(
                         params, consts, carry,
                         jnp.asarray(ts_np[i]), jnp.asarray(prev_np[i]),
                     )
@@ -1082,6 +1216,7 @@ class I2VAdapterPipeline:
         memory_unsafe: bool = False,
         dispatch: str = "auto",
         encoder_cache: Optional[int] = None,
+        cfg_cutoff: Optional[float] = None,
         callback=None,
         callback_steps: int = 1,
     ):
@@ -1103,6 +1238,12 @@ class I2VAdapterPipeline:
         never on by default).  Composes with temporal tiling (per-window
         caches) and forward chunking (per-chunk caches); the persistent
         cache footprint is bounded by ``MAX_ENC_CACHE_BYTES``.
+
+        ``cfg_cutoff`` in [0, 1]: opt-in adaptive guidance — the leading
+        fraction of denoise steps run full CFG, the rest run the
+        conditional branch only (one UNet eval instead of two; see
+        ``PipelineConfig.cfg_cutoff``).  Content-level deviation like
+        encoder_cache; the two are not composed (ValueError).
 
         ``num_videos_per_prompt``: each prompt (and its condition / IP
         images) is repeated N times with the same interleaved order as the
@@ -1256,6 +1397,20 @@ class I2VAdapterPipeline:
         )
         if enc_cache not in (1, 2):
             raise ValueError(f"encoder_cache must be 1 (off) or 2, got {enc_cache}")
+        cutoff = (
+            cfg_cutoff if cfg_cutoff is not None
+            else self.pipe_config.cfg_cutoff
+        )
+        if not (0.0 <= cutoff <= 1.0):
+            raise ValueError(f"cfg_cutoff must be in [0, 1], got {cutoff}")
+        if not use_cfg:
+            cutoff = 1.0  # guidance already off — nothing to cut
+        if enc_cache > 1 and cutoff < 1.0:
+            raise ValueError(
+                "cfg_cutoff and encoder_cache are separate content-level "
+                "approximations and are not composed (the turbo step pair "
+                "would need cond-only full/cached variants); pick one"
+            )
         if enc_cache > 1 and not memory_unsafe:
             # content-level approximation (see PipelineConfig.encoder_cache);
             # composes with both dispatch modes, UNet chunking (per-chunk
@@ -1322,6 +1477,7 @@ class I2VAdapterPipeline:
                 batch, num_frames, height, width, steps, float(strength),
                 float(guidance), use_cfg, has_condition, decode_slice,
                 vae_tiling, unet_chunk, decode=False, encoder_cache=enc_cache,
+                cfg_cutoff=float(cutoff),
             )
             latents = np.asarray(fn(
                 self.params,
@@ -1344,12 +1500,13 @@ class I2VAdapterPipeline:
                 batch, num_frames, height, width, steps, float(strength),
                 float(guidance), use_cfg, has_condition, decode_slice,
                 vae_tiling, unet_chunk, encoder_cache=enc_cache,
+                cfg_cutoff=float(cutoff),
             )
         else:
             fn = self._sampler(
                 batch, num_frames, height, width, steps, float(strength),
                 float(guidance), use_cfg, has_condition, decode_slice,
-                vae_tiling, unet_chunk, enc_cache,
+                vae_tiling, unet_chunk, enc_cache, float(cutoff),
             )
         if dispatch == "stepwise":
             video = fn(

@@ -25,7 +25,9 @@ Request JSON fields (all but ``prompt`` + ``image`` optional):
   prompt, image (path), negative_prompt, num_frames, height, width,
   num_inference_steps, guidance_scale, frame_similarity_sample_ratio,
   seed, fps, format ('gif' | 'mp4' | 'npy'), dispatch, encoder_cache
-  (2 = opt-in turbo approximation, see PipelineConfig.encoder_cache).
+  (2 = opt-in turbo approximation, see PipelineConfig.encoder_cache),
+  cfg_cutoff (< 1.0 = opt-in adaptive guidance: late steps skip the
+  uncond UNet eval, see PipelineConfig.cfg_cutoff).
 
 Run: ``python -m i2v_adapter_tpu.pipelines.serve --pretrained_model_path
 ... --requests_dir requests/ --output_dir output/``.
@@ -85,6 +87,7 @@ _REQUEST_KEYS = (
     "negative_prompt", "num_frames", "height", "width",
     "num_inference_steps", "guidance_scale",
     "frame_similarity_sample_ratio", "dispatch", "encoder_cache",
+    "cfg_cutoff",
 )
 
 

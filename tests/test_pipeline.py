@@ -285,6 +285,72 @@ def test_encoder_cache_turbo_mode(tiny_pipeline):
         tiny_pipeline("a", condition_image=img, encoder_cache=3)
 
 
+def test_cfg_cutoff_adaptive_guidance(tiny_pipeline):
+    """``cfg_cutoff`` (opt-in adaptive guidance): late denoise steps run
+    the conditional branch only — one UNet eval instead of two.
+
+    Checks: cutoff=1.0 is the exact path (same cached sampler); a partial
+    cutoff runs finite and genuinely deviates; stepwise dispatch picks the
+    same per-step functions as the fused split scan (2e-5, like turbo);
+    cutoff=0.0 equals guidance_scale=1.0 (pure-conditional) semantics;
+    composition with encoder_cache is refused.
+
+    Runs with exact convs: int8's dynamic activation scales amplify
+    ulp-level jit-boundary latent diffs into quantization-bucket flips
+    (see test_output_type_latent_matches_decoded), which would swamp the
+    cross-dispatch and cutoff-0-vs-guidance-1 equivalences below."""
+    tiny_pipeline.enable_int8_conv(False)
+    try:
+        _run_cfg_cutoff_checks(tiny_pipeline)
+    finally:
+        tiny_pipeline.enable_int8_conv(True)  # fixture is module-scoped
+
+
+def _run_cfg_cutoff_checks(tiny_pipeline):
+    img = (np.random.default_rng(11).random((32, 32, 3)) * 255).astype(
+        np.uint8
+    )
+    kw = dict(condition_image=img, seed=7, output_type="float",
+              num_inference_steps=4)
+    v_exact = tiny_pipeline("a cat", **kw)
+    # cutoff=1.0 == off: normalized before the sampler cache, so this hits
+    # the SAME compiled sampler — bitwise equal
+    v_off = tiny_pipeline("a cat", cfg_cutoff=1.0, **kw)
+    np.testing.assert_array_equal(v_off, v_exact)
+
+    # cutoff=0.34 of the 3-step truncated schedule: steps 2 and 3 run
+    # cond-only.  (A last-step-only cutoff is measurably a no-op here: the
+    # CFG halves converge so hard by t=0 that the latent diff is ~1e-6 and
+    # decodes bitwise-identical — which is exactly why late-step cutoff is
+    # a good approximation.)
+    v_half = tiny_pipeline("a cat", cfg_cutoff=0.34, **kw)
+    assert v_half.shape == v_exact.shape
+    assert np.isfinite(v_half).all()
+    assert np.abs(v_half - v_exact).max() > 0  # genuinely approximate
+    # deterministic for a fixed seed
+    v_half2 = tiny_pipeline("a cat", cfg_cutoff=0.34, **kw)
+    np.testing.assert_array_equal(v_half, v_half2)
+
+    # stepwise dispatch: same part functions driven from the host loop
+    v_sw = tiny_pipeline("a cat", cfg_cutoff=0.34, dispatch="stepwise", **kw)
+    np.testing.assert_allclose(v_sw, v_half, atol=2e-5)
+
+    # cutoff=0.0 = guidance off for every step: the cond-only prediction
+    # equals uncond + 1.0*(text - uncond), i.e. guidance_scale=1.0 (which
+    # disables CFG entirely on the exact path) — different graphs, same
+    # math
+    v_cut0 = tiny_pipeline("a cat", cfg_cutoff=0.0, **kw)
+    v_g1 = tiny_pipeline("a cat", condition_image=img, seed=7,
+                         output_type="float", num_inference_steps=4,
+                         guidance_scale=1.0)
+    np.testing.assert_allclose(v_cut0, v_g1, atol=2e-5)
+
+    with pytest.raises(ValueError, match="not composed"):
+        tiny_pipeline("a cat", cfg_cutoff=0.34, encoder_cache=2, **kw)
+    with pytest.raises(ValueError, match="cfg_cutoff"):
+        tiny_pipeline("a cat", cfg_cutoff=1.5, **kw)
+
+
 def test_output_type_latent_matches_decoded(tiny_pipeline):
     """output_type='latent' (reference pipeline_i2v_adapter.py:699-703)
     returns final clamped latents without decoding; feeding them through the
