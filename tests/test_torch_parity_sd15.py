@@ -240,13 +240,16 @@ _LOOP = dict(b=1, f=2, lat=32, steps=2, guidance=7.5)
 def _jax_pipeline_loop(
     unet_cfg, vae_cfg, converted_params, vae_params, inputs,
     encoder_cache: int = 1,
+    cfg_cutoff: float = 1.0,
 ):
     """Run the product denoise loop (first-frame clamp -> CFG -> UNet ->
     guidance -> DDIM -> final clamp -> VAE decode) via the same
     ``_build_parts`` functions the shipping sampler scans over.
 
     ``encoder_cache=2`` drives the turbo full/cached step pairs instead
-    (odd trailing step full), mirroring the fused turbo scan's schedule."""
+    (odd trailing step full), mirroring the fused turbo scan's schedule.
+    ``cfg_cutoff < 1.0`` runs the trailing steps via the cond-only part,
+    mirroring the fused split scan (adaptive guidance)."""
     from i2v_adapter_tpu.config import I2VModelConfig, PipelineConfig
     from i2v_adapter_tpu.models import AutoencoderKL
     from i2v_adapter_tpu.pipelines.i2v_pipeline import I2VAdapterPipeline
@@ -281,7 +284,7 @@ def _jax_pipeline_loop(
     )
     carry = (jnp.asarray(inputs["latents0"]), jax.random.PRNGKey(0))
     if encoder_cache > 1:
-        step_full_fn, step_cached_fn = pair_fns
+        step_full_fn, step_cached_fn = pair_fns[0], pair_fns[1]
         n2 = (len(ts) // 2) * 2
         for i in range(0, n2, 2):
             carry, enc = step_full_fn(
@@ -296,8 +299,14 @@ def _jax_pipeline_loop(
                 params, consts, carry, jnp.asarray(ts[i]), jnp.asarray(prev[i])
             )
     else:
-        for t, tp in zip(ts, prev):
-            carry = step_fn(
+        n_cfg = (
+            len(ts) if cfg_cutoff >= 1.0
+            else int(round(cfg_cutoff * len(ts)))
+        )
+        step_cond_fn = pair_fns[2]
+        for i, (t, tp) in enumerate(zip(ts, prev)):
+            fn_i = step_fn if i < n_cfg else step_cond_fn
+            carry = fn_i(
                 params, consts, carry, jnp.asarray(t), jnp.asarray(tp)
             )
     got = np.asarray(decode_fn(params, consts, carry[0]))  # (B, F, H, W*3)
@@ -474,3 +483,28 @@ def test_sd15_pipeline_loop_turbo_deviation(
     # ...but stay image-level close even at worst-case staleness
     assert db > 20.0, f"sd15 turbo deviation PSNR {db:.1f} dB"
     print(f"sd15 turbo vs exact: {db:.1f} dB (2-step worst-case staleness)")
+
+
+def test_sd15_pipeline_loop_cfg_cutoff_deviation(
+    loop_setup, converted, exact_loop_output
+):
+    """Quantify the adaptive-guidance trade at SD1.5 width: ``cfg_cutoff=
+    0.5`` on the 2-step loop = the LAST step runs cond-only (guidance
+    off).  Worst case by construction: the shipping 22-step schedule cuts
+    only late steps where the branches have converged, while this
+    2-step harness drops guidance at timestep ~500.  Same content-level
+    bar as the turbo test (>20 dB sanity floor + structural checks)."""
+    got = _jax_pipeline_loop(
+        SD15, loop_setup["tiny_vae"], converted, loop_setup["vae_params"],
+        loop_setup["inputs"], cfg_cutoff=0.5,
+    )
+    exact = exact_loop_output
+    assert np.isfinite(got).all()
+    assert got.shape == exact.shape
+    dev = float(np.max(np.abs(got - exact)))
+    assert dev > 0.0  # guidance genuinely dropped for the cut step
+    peak = float(np.max(np.abs(exact))) or 1.0
+    db = psnr(got.astype(np.float64), exact.astype(np.float64), peak=peak)
+    assert db > 20.0, f"sd15 cfg_cutoff deviation PSNR {db:.1f} dB"
+    print(f"sd15 cfg_cutoff=0.5 vs exact: {db:.1f} dB "
+          f"(2-step worst case: guidance off from t~500)")
