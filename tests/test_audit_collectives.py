@@ -295,3 +295,11 @@ def test_committed_tpu_train_audits_support_the_ledger_claims():
     assert fits["meta"]["mesh"] == {
         "data": 1, "fsdp": 2, "tensor": 1, "seq": 4
     }
+
+    # (c) the motion-512 frozrep variant halves the wire and still fits
+    # (with a thin margin BASELINE.md states explicitly)
+    mf = load("MULTICHIP_AUDIT_TPU_MOTFROZ.json")["cases"][
+        "train_motion_512_v2_frozrep"
+    ]
+    assert wire(mf) < 0.6 * wire(fits), (wire(mf), wire(fits))
+    assert peak_gib(mf) < usable_hbm_gib, peak_gib(mf)
