@@ -187,3 +187,47 @@ def test_serve_request_timeout_recycles_worker(tiny_pipe, tmp_path):
         r = json.load(f)
     assert r["ok"]
     assert os.path.exists(os.path.join(out_dir, "b_good.npy"))
+
+
+def test_serve_request_cfg_cutoff_passthrough(tiny_pipe, tmp_path):
+    """The cfg_cutoff request key reaches the pipeline: a cutoff request
+    succeeds and matches a direct call with the same kwarg; an invalid
+    cutoff fails the REQUEST (poison isolation), not the worker."""
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from i2v_adapter_tpu.pipelines.serve import serve
+
+    req_dir = str(tmp_path / "req")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(req_dir)
+    img_path = str(tmp_path / "cond.png")
+    Image.fromarray(
+        (np.random.default_rng(2).random((32, 32, 3)) * 255).astype(np.uint8)
+    ).save(img_path)
+    reqs = {
+        "cut": {"prompt": "a cat", "image": img_path, "seed": 4,
+                "format": "npy", "cfg_cutoff": 0.34},
+        "bad_cut": {"prompt": "a cat", "image": img_path,
+                    "cfg_cutoff": 1.5},
+    }
+    for rid, req in reqs.items():
+        with open(os.path.join(req_dir, rid + ".json"), "w") as f:
+            json.dump(req, f)
+    n = serve(tiny_pipe, req_dir, out_dir, max_requests=3)
+    assert n == 2
+    with open(os.path.join(out_dir, "cut.result.json")) as f:
+        r = json.load(f)
+    assert r["ok"], r
+    video = np.load(os.path.join(out_dir, "cut.npy"))
+    direct = tiny_pipe(
+        "a cat", condition_image=Image.open(img_path), seed=4,
+        cfg_cutoff=0.34,
+    )
+    np.testing.assert_array_equal(video, direct)
+    with open(os.path.join(out_dir, "bad_cut.result.json")) as f:
+        r = json.load(f)
+    assert not r["ok"] and "cfg_cutoff" in r["error"]
